@@ -1,0 +1,673 @@
+"""BenchmarkEnv — TPU-native task-environment protocol.
+
+Functional rebuild of the reference's ``BenchmarkEnv`` (envs/benchmark_env.py:
+42-780). The reference is a mutable ``gym.Env`` whose step crosses into
+PyBullet C++ ~``pyb_freq/ctrl_freq`` times per control step; here the entire
+control step — action pipeline, physics substeps, disturbances, reward, done,
+constraint evaluation, counters — is ONE pure jitted function over an explicit
+``EnvState`` pytree:
+
+    step_fn : (EnvState, action) -> (EnvState', StepOut)
+
+Batched simulation ("VecEnv") is then just ``jax.vmap(step_fn)`` and scaling
+across TPU chips is ``shard_map`` over the batch axis — no subprocess workers
+or pipes (cf. reference subproc_vec_env.py).
+
+A thin stateful shim (this class, still a ``gym.Env``) preserves the
+reference's mutable API surface — ``reset()/step()`` returning numpy + info
+dicts, ``env.state``, ``current_*_action`` bookkeeping (benchmark_env.py:
+331-334), ``X_GOAL/U_GOAL``, ``env.symbolic`` — so controllers and the
+experiment harness read identically to the reference.
+
+Key semantic parity points (each noted where implemented):
+* timing: ``PYB_FREQ % CTRL_FREQ == 0``, substeps per control step
+  (benchmark_env.py:138-148);
+* ``before_step`` squeeze/1-D check (:400-420); action pipeline
+  raw -> physical -> noisy -> clipped (:331-334, cartpole.py:479-502);
+* ``after_step``: constraint eval once per step, violation -> done/penalty,
+  TimeLimit truncation (:447-502);
+* ``extend_obs`` goal-horizon augmentation (:422-445);
+* trajectory / stabilization references (:504-713, cartpole.py:215-233);
+* domain randomization via {distrib, args, kwargs} specs (:237-268).
+"""
+
+from __future__ import annotations
+
+import copy
+from enum import Enum
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import gymnasium as gym
+from gymnasium import spaces
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from safe_control_gym_tpu.envs import constraints as constraints_mod
+from safe_control_gym_tpu.envs import disturbances as disturbances_mod
+from safe_control_gym_tpu.envs.trajectories import generate_trajectory
+from safe_control_gym_tpu.utils.utils import ConfigDict
+
+__all__ = ['Task', 'Cost', 'Environment', 'EnvState', 'StepOut', 'BenchmarkEnv']
+
+
+class Task(str, Enum):
+    """Environment tasks (benchmark_env.py:30-35)."""
+    STABILIZATION = 'stabilization'
+    TRAJ_TRACKING = 'traj_tracking'
+
+
+class Cost(str, Enum):
+    """Reward/cost functions (benchmark_env.py:21-27)."""
+    RL_REWARD = 'rl_reward'
+    QUADRATIC = 'quadratic'
+
+
+class Environment(str, Enum):
+    """Implemented environments (benchmark_env.py:37-39)."""
+    CARTPOLE = 'cartpole'
+    QUADROTOR = 'quadrotor'
+
+
+@struct.dataclass
+class EnvState:
+    """Complete per-episode simulation state (a pytree; vmappable)."""
+    state: jax.Array          # physical state vector
+    ctrl_step: jax.Array      # i32 control-step counter
+    key: jax.Array            # PRNG key threaded through the episode
+    dyn_params: Any           # (randomized) inertial parameter pytree
+    dist_obs: jax.Array       # per-episode disturbance states by channel
+    dist_act: jax.Array
+    dist_dyn: jax.Array
+    adv_action: jax.Array     # adversary action buffer
+    adv_valid: jax.Array      # bool: adversary action set this step
+
+
+@struct.dataclass
+class StepOut:
+    """Fixed-shape step output (the functional analog of (obs, rew, done, info))."""
+    obs: jax.Array
+    reward: jax.Array
+    done: jax.Array
+    truncated: jax.Array      # TimeLimit.truncated semantics (:497-501)
+    mse: jax.Array
+    constraint_values: jax.Array
+    constraint_violation: jax.Array  # i32 0/1
+    goal_reached: jax.Array
+    out_of_bounds: jax.Array
+    state: jax.Array          # underlying physical state (RecordDataWrapper parity)
+    noisy_action: jax.Array   # current_noisy_physical_action
+    clipped_action: jax.Array  # current_clipped_action
+    physical_action: jax.Array
+
+
+def _compile_rand_sampler(rand_info: Dict[str, Dict], names) -> Callable:
+    """Compile a {name: {distrib, args/kwargs}} spec into a pure additive
+    sampler (parity with _randomize_values_by_info, benchmark_env.py:237-268).
+
+    Returns fn(key, base: dict[str, scalar/array]) -> dict with randomized
+    entries (base + draw).
+    """
+    entries = []
+    for name in names:
+        if name not in rand_info:
+            continue
+        info = dict(rand_info[name])
+        distrib = info.pop('distrib')
+        args = info.pop('args', [])
+        kwargs = dict(info)
+        entries.append((name, distrib, args, kwargs))
+
+    def sample(key, base):
+        out = dict(base)
+        if not entries:
+            return out
+        keys = jax.random.split(key, len(entries))
+        for (name, distrib, args, kwargs), k in zip(entries, keys):
+            shape = jnp.shape(jnp.asarray(base[name]))
+            if distrib == 'uniform':
+                low = kwargs.get('low', args[0] if args else 0.0)
+                high = kwargs.get('high', args[1] if len(args) > 1 else 1.0)
+                draw = jax.random.uniform(k, shape, minval=low, maxval=high)
+            elif distrib in ('normal', 'standard_normal', 'gaussian'):
+                loc = kwargs.get('loc', args[0] if args else 0.0)
+                scale = kwargs.get('scale', args[1] if len(args) > 1 else 1.0)
+                draw = loc + scale * jax.random.normal(k, shape)
+            elif distrib == 'choice':
+                options = jnp.asarray(args[0], dtype=jnp.float32)
+                idx = jax.random.randint(k, shape, 0, options.shape[0])
+                draw = options[idx]
+            else:
+                raise ValueError(f'Unsupported randomization distrib: {distrib}')
+            out[name] = jnp.asarray(base[name]) + draw
+        return out
+
+    return sample
+
+
+class FuncEnv:
+    """Functional view of an env: pure reset/step closures + dims.
+
+    This is what vectorized training and multi-chip sharding consume;
+    built by BenchmarkEnv._build_functional().
+    """
+
+    def __init__(self, reset_fn, step_fn, obs_dim, act_dim, state_dim,
+                 n_constraints, max_steps):
+        self.reset = reset_fn          # (key) -> (EnvState, obs)
+        self.step = step_fn            # (EnvState, action) -> (EnvState, StepOut)
+        self.obs_dim = obs_dim
+        self.act_dim = act_dim
+        self.state_dim = state_dim
+        self.n_constraints = n_constraints
+        self.max_steps = max_steps
+
+
+class BenchmarkEnv(gym.Env):
+    """Stateful shim + functional core builder. Subclasses: CartPole, Quadrotor."""
+
+    NAME = 'base'
+    DISTURBANCE_MODES: Dict[str, Dict] = {}
+    INERTIAL_PROP_RAND_INFO: Dict[str, Dict] = {}
+    INIT_STATE_RAND_INFO: Dict[str, Dict] = {}
+    TASK_INFO: Dict[str, Any] = {}
+    AVAILABLE_CONSTRAINTS: Dict[str, Any] = {}
+
+    _idx_counter = 0
+
+    def __init__(self,
+                 output_dir=None,
+                 seed: Optional[int] = None,
+                 info_in_reset: bool = True,
+                 gui: bool = False,
+                 verbose: bool = False,
+                 normalized_rl_action_space: bool = False,
+                 task: str = 'stabilization',
+                 cost: str = 'rl_reward',
+                 pyb_freq: int = 50,
+                 ctrl_freq: int = 50,
+                 episode_len_sec: int = 5,
+                 init_state=None,
+                 randomized_init: bool = True,
+                 init_state_randomization_info=None,
+                 inertial_prop=None,
+                 randomized_inertial_prop: bool = False,
+                 inertial_prop_randomization_info=None,
+                 task_info=None,
+                 constraints=None,
+                 done_on_violation: bool = False,
+                 use_constraint_penalty: bool = False,
+                 constraint_penalty: float = -1,
+                 disturbances=None,
+                 adversary_disturbance=None,
+                 adversary_disturbance_offset: float = 0.0,
+                 adversary_disturbance_scale: float = 0.01,
+                 **kwargs):
+        # Unique id per instance (benchmark_env.py:125-127).
+        self.idx = BenchmarkEnv._idx_counter
+        BenchmarkEnv._idx_counter += 1
+        self.GUI = gui  # accepted for config parity; no rendering backend
+        self.VERBOSE = verbose
+        self.output_dir = output_dir
+        self.NORMALIZED_RL_ACTION_SPACE = normalized_rl_action_space
+
+        # Timing (benchmark_env.py:138-148).
+        self.CTRL_FREQ = int(ctrl_freq)
+        self.PYB_FREQ = int(pyb_freq)
+        if self.PYB_FREQ % self.CTRL_FREQ != 0:
+            raise ValueError('pyb_freq is not divisible by env_freq.')
+        self.PYB_STEPS_PER_CTRL = int(self.PYB_FREQ / self.CTRL_FREQ)
+        self.CTRL_TIMESTEP = 1.0 / self.CTRL_FREQ
+        self.PYB_TIMESTEP = 1.0 / self.PYB_FREQ
+        self.EPISODE_LEN_SEC = episode_len_sec
+        self.CTRL_STEPS = int(self.EPISODE_LEN_SEC * self.CTRL_FREQ)
+
+        # Task & cost.
+        self.TASK = Task(task)
+        self.COST = Cost(cost)
+        if task_info is not None:
+            self.TASK_INFO = dict(self.TASK_INFO, **dict(task_info))
+        else:
+            self.TASK_INFO = dict(self.TASK_INFO)
+
+        # Initial state / randomization config.
+        self.init_state = init_state
+        self.RANDOMIZED_INIT = bool(randomized_init)
+        if init_state_randomization_info is not None:
+            self.INIT_STATE_RAND_INFO = copy.deepcopy(dict(init_state_randomization_info))
+        else:
+            self.INIT_STATE_RAND_INFO = copy.deepcopy(self.INIT_STATE_RAND_INFO)
+        self.inertial_prop = inertial_prop
+        self.RANDOMIZED_INERTIAL_PROP = bool(randomized_inertial_prop)
+        if inertial_prop_randomization_info is not None:
+            self.INERTIAL_PROP_RAND_INFO = copy.deepcopy(dict(inertial_prop_randomization_info))
+        else:
+            self.INERTIAL_PROP_RAND_INFO = copy.deepcopy(self.INERTIAL_PROP_RAND_INFO)
+
+        # Constraints (benchmark_env.py:297-303).
+        self.CONSTRAINTS = constraints
+        self.DONE_ON_VIOLATION = bool(done_on_violation)
+        self.use_constraint_penalty = use_constraint_penalty
+        self.constraint_penalty = constraint_penalty
+        self.constraints = None
+
+        # Disturbances (benchmark_env.py:279-295).
+        self.DISTURBANCES = disturbances
+        self.adversary_disturbance = adversary_disturbance
+        self.adversary_disturbance_offset = adversary_disturbance_offset
+        self.adversary_disturbance_scale = adversary_disturbance_scale
+
+        # Mutable episode mirrors (populated by reset/step).
+        self.state = None
+        self.ctrl_step_counter = 0
+        self.pyb_step_counter = 0
+        self.current_raw_action = None
+        self.current_physical_action = None
+        self.current_noisy_physical_action = None
+        self.current_clipped_action = None
+        self.adv_action = None
+        self.at_reset = False
+        self.initial_reset = False
+        self.goal_reached = False
+        self.out_of_bounds = False
+
+        self._seed_value = seed
+        self.seed(seed)
+
+    # ------------------------------------------------------------------
+    # Seeding (benchmark_env.py:193-214): numpy generator for host-side
+    # compat + a JAX key chain for the functional core.
+    # ------------------------------------------------------------------
+    def seed(self, seed=None):
+        seed = int(seed) if seed is not None else np.random.SeedSequence().entropy % (2 ** 31)
+        self.np_random = np.random.default_rng(seed)
+        self._key = jax.random.PRNGKey(seed)
+        if hasattr(self, 'action_space') and self.action_space is not None:
+            self.action_space.seed(seed)
+        return [seed]
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    # ------------------------------------------------------------------
+    # Setup helpers called by subclasses
+    # ------------------------------------------------------------------
+    def _setup_constraints(self):
+        """Build the ConstraintList from YAML specs (benchmark_env.py:297-303)."""
+        self.constraints = None
+        self.num_constraints = 0
+        if self.CONSTRAINTS is not None:
+            self.constraints = constraints_mod.create_constraint_list(
+                self.CONSTRAINTS, self.AVAILABLE_CONSTRAINTS, self)
+            self.num_constraints = self.constraints.num_constraints
+
+    def _setup_disturbances(self):
+        """Build per-channel DisturbanceLists + adversary spaces
+        (benchmark_env.py:279-295)."""
+        self.disturbances: Dict[str, disturbances_mod.DisturbanceList] = {}
+        if self.DISTURBANCES is not None:
+            for mode, spec in dict(self.DISTURBANCES).items():
+                assert mode in self.DISTURBANCE_MODES, \
+                    '[ERROR] in BenchmarkEnv._setup_disturbances, disturbance mode not available.'
+                mode_shared_args = self.DISTURBANCE_MODES[mode]
+                self.disturbances[mode] = disturbances_mod.create_disturbance_list(
+                    spec, mode_shared_args, self.CTRL_STEPS)
+        # Adversary disturbance (RARL/RAP).
+        if self.adversary_disturbance is not None:
+            assert self.adversary_disturbance in self.DISTURBANCE_MODES, \
+                '[ERROR] adversary_disturbance mode not available.'
+            dim = self.DISTURBANCE_MODES[self.adversary_disturbance]['dim']
+            self.adversary_action_space = spaces.Box(low=-1.0, high=1.0, shape=(dim,))
+            self.adv_action_dim = dim
+        else:
+            self.adversary_action_space = None
+            self.adv_action_dim = max(
+                (m['dim'] for m in self.DISTURBANCE_MODES.values()), default=1)
+
+    def set_adversary_control(self, action):
+        """Buffer the adversary's action for the next step
+        (benchmark_env.py:216-228)."""
+        if self.adversary_disturbance is not None:
+            clipped = np.clip(action, self.adversary_action_space.low,
+                              self.adversary_action_space.high)
+            self.adv_action = (clipped * self.adversary_disturbance_scale
+                               + self.adversary_disturbance_offset)
+
+    def _setup_task_references(self):
+        """Build X_GOAL/U_GOAL; subclass provides _state_goal_from_xyz and
+        trajectory column layout via _traj_to_goal."""
+        raise NotImplementedError
+
+    def _generate_trajectory(self, **kwargs):
+        return generate_trajectory(**kwargs)
+
+    # ------------------------------------------------------------------
+    # Subclass hooks for the functional core
+    # ------------------------------------------------------------------
+    def _nominal_dyn_params(self):
+        raise NotImplementedError
+
+    def _sample_dyn_params(self, key, nominal):
+        raise NotImplementedError
+
+    def _nominal_init_state(self) -> np.ndarray:
+        raise NotImplementedError
+
+    def _sample_init_state(self, key, nominal):
+        raise NotImplementedError
+
+    def _denormalize_action_pure(self, action):
+        raise NotImplementedError
+
+    def _advance_pure(self, x, clipped_action, dyn_force, params):
+        raise NotImplementedError
+
+    def _rl_reward_pure(self, state, noisy_action, step):
+        raise NotImplementedError
+
+    def _quadratic_reward_pure(self, state, clipped_action, step):
+        raise NotImplementedError
+
+    def _oob_pure(self, state):
+        raise NotImplementedError
+
+    def _mse_pure(self, state, step):
+        raise NotImplementedError
+
+    def _obs_transform_pure(self, state, key):
+        """State -> observation before goal extension (wrap/noise handled
+        by caller); identity by default."""
+        return state
+
+    # ------------------------------------------------------------------
+    # Functional core assembly
+    # ------------------------------------------------------------------
+    def _extend_obs_pure(self, obs, next_step):
+        """Goal-horizon obs augmentation (benchmark_env.py:422-445)."""
+        horizon = getattr(self, 'obs_goal_horizon', 0)
+        if self.COST != Cost.RL_REWARD or horizon <= 0:
+            return obs
+        X_GOAL = jnp.asarray(self.X_GOAL, dtype=jnp.float32)
+        if self.TASK == Task.TRAJ_TRACKING:
+            idx = jnp.clip(next_step + jnp.arange(horizon), 0, X_GOAL.shape[0] - 1)
+            goal = X_GOAL[idx].reshape(-1)
+        else:
+            goal = X_GOAL.reshape(-1)
+        return jnp.concatenate([obs, goal])
+
+    def _build_functional(self):
+        """Compile reset_fn/step_fn closures over the static config."""
+        state_dim = self.state_dim
+        act_dim = self.action_dim
+        CTRL_STEPS = self.CTRL_STEPS
+        nominal_params = self._nominal_dyn_params()
+        nominal_init = jnp.asarray(self._nominal_init_state(), dtype=jnp.float32)
+        phys_lo = jnp.asarray(np.asarray(self.physical_action_bounds[0], dtype=np.float32))
+        phys_hi = jnp.asarray(np.asarray(self.physical_action_bounds[1], dtype=np.float32))
+        dist_obs = self.disturbances.get('observation')
+        dist_act = self.disturbances.get('action')
+        dist_dyn = self.disturbances.get('dynamics')
+        dyn_dim = self.DISTURBANCE_MODES.get('dynamics', {'dim': 1})['dim']
+        adv_mode = self.adversary_disturbance
+        adv_dim = self.adv_action_dim
+        constraints = self.constraints
+        n_con = self.num_constraints
+        done_on_violation = self.DONE_ON_VIOLATION
+        use_penalty = self.use_constraint_penalty
+        penalty = self.constraint_penalty
+        rew_exponential = bool(getattr(self, 'rew_exponential', True))
+        cost = self.COST
+        task = self.TASK
+        stab_tol = self.TASK_INFO.get('stabilization_goal_tolerance', 0.0)
+        X_GOAL = jnp.asarray(np.atleast_2d(self.X_GOAL), dtype=jnp.float32)
+        done_on_oob = bool(getattr(self, 'done_on_out_of_bound', False))
+        randomized_init = self.RANDOMIZED_INIT
+        randomized_prop = self.RANDOMIZED_INERTIAL_PROP
+        pyb_dt = self.PYB_TIMESTEP
+
+        def reset_fn(key):
+            k_prop, k_init, k_do, k_da, k_dd, k_obs, k_carry = jax.random.split(key, 7)
+            params = (self._sample_dyn_params(k_prop, nominal_params)
+                      if randomized_prop else nominal_params)
+            x0 = (self._sample_init_state(k_init, nominal_init)
+                  if randomized_init else nominal_init)
+            est = EnvState(
+                state=x0,
+                ctrl_step=jnp.zeros((), jnp.int32),
+                key=k_carry,
+                dyn_params=params,
+                dist_obs=dist_obs.init(k_do) if dist_obs else jnp.zeros((0,)),
+                dist_act=dist_act.init(k_da) if dist_act else jnp.zeros((0,)),
+                dist_dyn=dist_dyn.init(k_dd) if dist_dyn else jnp.zeros((0,)),
+                adv_action=jnp.zeros((adv_dim,), jnp.float32),
+                adv_valid=jnp.zeros((), bool),
+            )
+            obs = self._observe(est, x0, k_obs, at_reset=True)
+            return est, obs
+
+        def _apply_obs_noise(est, x, key):
+            obs = self._obs_transform_pure(x, key)
+            if dist_obs:
+                t = est.ctrl_step.astype(jnp.float32) * self.CTRL_TIMESTEP
+                obs = dist_obs.apply(obs, est.dist_obs, est.ctrl_step, t, key)
+            return obs
+
+        def step_fn(est: EnvState, action):
+            key, k_act, k_dyn, k_obs = jax.random.split(est.key, 4)
+            raw = jnp.atleast_1d(jnp.squeeze(jnp.asarray(action, dtype=jnp.float32)))
+            raw = raw.reshape((act_dim,))
+            phys = self._denormalize_action_pure(raw)
+            t = est.ctrl_step.astype(jnp.float32) * self.CTRL_TIMESTEP
+            noisy = phys
+            if dist_act:
+                noisy = dist_act.apply(noisy, est.dist_act, est.ctrl_step, t, k_act)
+            if adv_mode == 'action':
+                noisy = noisy + jnp.where(est.adv_valid, est.adv_action[:act_dim], 0.0)
+            clipped = jnp.clip(noisy, phys_lo, phys_hi)
+            # Dynamics disturbance force (world frame).
+            dyn_force = jnp.zeros((dyn_dim,), jnp.float32)
+            if dist_dyn:
+                dyn_force = dist_dyn.apply(dyn_force, est.dist_dyn, est.ctrl_step, t, k_dyn)
+            if adv_mode == 'dynamics':
+                dyn_force = dyn_force + jnp.where(est.adv_valid,
+                                                  est.adv_action[:dyn_dim], 0.0)
+            # Physics: substeps fused under scan (subclass).
+            x_new = self._advance_pure(est.state, clipped, dyn_force, est.dyn_params)
+            step = est.ctrl_step  # counter not yet incremented (reference semantics)
+            # Observation with noise + goal extension (ctrl_step+2, :422-445).
+            est_new = est.replace(state=x_new, key=key,
+                                  adv_valid=jnp.zeros((), bool))
+            obs = self._observe(est_new, x_new, k_obs, at_reset=False)
+            # Reward.
+            if cost == Cost.RL_REWARD:
+                reward = self._rl_reward_pure(x_new, noisy, step)
+            else:
+                reward = self._quadratic_reward_pure(x_new, clipped, step)
+            # Done conditions.
+            if task == Task.STABILIZATION:
+                goal_reached = jnp.linalg.norm(
+                    x_new - X_GOAL[0]) < stab_tol
+            else:
+                goal_reached = jnp.zeros((), bool)
+            oob = self._oob_pure(x_new) if done_on_oob else jnp.zeros((), bool)
+            done = jnp.logical_or(goal_reached if task == Task.STABILIZATION
+                                  else jnp.zeros((), bool), oob)
+            # Constraints (after_step, benchmark_env.py:465-494).
+            if constraints is not None and n_con > 0:
+                c_values = constraints.values_from(x_new, noisy)
+                violated = constraints.violated_mask(c_values)
+            else:
+                c_values = jnp.zeros((n_con,), jnp.float32)
+                violated = jnp.zeros((), bool)
+            if done_on_violation:
+                done = jnp.logical_or(done, violated)
+            if cost == Cost.RL_REWARD and use_penalty and constraints is not None:
+                if rew_exponential:
+                    log_rew = jnp.log(jnp.clip(reward, 1e-30)) - penalty
+                    reward = jnp.where(violated, jnp.exp(log_rew), reward)
+                else:
+                    reward = jnp.where(violated, reward - penalty, reward)
+            # Counters + time limit (:496-501).
+            new_step = est.ctrl_step + 1
+            timeout = new_step >= CTRL_STEPS
+            truncated = jnp.logical_and(timeout, jnp.logical_not(done))
+            done = jnp.logical_or(done, timeout)
+            mse = self._mse_pure(x_new, step)
+            est_new = est_new.replace(ctrl_step=new_step)
+            out = StepOut(
+                obs=obs,
+                reward=jnp.asarray(reward, jnp.float32),
+                done=done,
+                truncated=truncated,
+                mse=jnp.asarray(mse, jnp.float32),
+                constraint_values=c_values,
+                constraint_violation=violated.astype(jnp.int32),
+                goal_reached=goal_reached,
+                out_of_bounds=oob,
+                state=x_new,
+                noisy_action=noisy,
+                clipped_action=clipped,
+                physical_action=phys,
+            )
+            return est_new, out
+
+        self._apply_obs_noise = _apply_obs_noise
+        self.func = FuncEnv(reset_fn, step_fn,
+                            obs_dim=int(np.prod(self.observation_space.shape)),
+                            act_dim=act_dim, state_dim=state_dim,
+                            n_constraints=n_con, max_steps=CTRL_STEPS)
+        self._reset_jit = jax.jit(reset_fn)
+        self._step_jit = jax.jit(step_fn)
+
+    def _observe(self, est, x, key, at_reset):
+        """Noisy observation + goal extension. next_step semantics:
+        reset -> 1, step -> ctrl_step+2 (cartpole.py:600-608; but note
+        _observe is called after state update and before counter increment,
+        so est.ctrl_step+2 == (incremented counter)+1)."""
+        obs = self._apply_obs_noise_impl(est, x, key)
+        next_step = jnp.where(jnp.asarray(at_reset), 1, est.ctrl_step + 2)
+        return self._extend_obs_pure(obs, next_step)
+
+    def _apply_obs_noise_impl(self, est, x, key):
+        obs = self._obs_transform_pure(x, key)
+        dist_obs = self.disturbances.get('observation')
+        if dist_obs:
+            t = est.ctrl_step.astype(jnp.float32) * self.CTRL_TIMESTEP
+            obs = dist_obs.apply(obs, est.dist_obs, est.ctrl_step, t, key)
+        return obs
+
+    # ------------------------------------------------------------------
+    # Stateful gym API (shim over the functional core)
+    # ------------------------------------------------------------------
+    def _check_initial_reset(self):
+        if not self.initial_reset:
+            raise RuntimeError('[ERROR] You must call env.reset() at least once before using env.step().')
+
+    def before_reset(self):
+        self.initial_reset = True
+        self.at_reset = True
+        self.ctrl_step_counter = 0
+        self.pyb_step_counter = 0
+        self.current_raw_action = None
+        self.current_physical_action = None
+        self.current_noisy_physical_action = None
+        self.current_clipped_action = None
+
+    def reset(self, seed=None, options=None):
+        if seed is not None:
+            self.seed(seed)
+        self.before_reset()
+        est, obs = self._reset_jit(self._next_key())
+        self._est = est
+        self.state = np.asarray(est.state)
+        self.goal_reached = False
+        self.out_of_bounds = False
+        obs = np.asarray(obs)
+        self.at_reset = False
+        info = self._get_reset_info()
+        return obs, info
+
+    def step(self, action):
+        self._check_initial_reset()
+        action = np.atleast_1d(np.squeeze(np.asarray(action)))
+        if action.ndim != 1:
+            raise ValueError('[ERROR]: The action returned by the controller must be 1 dimensional.')
+        self.current_raw_action = action
+        if self.adv_action is not None:
+            adv = np.zeros(self.adv_action_dim, dtype=np.float32)
+            adv[:len(np.atleast_1d(self.adv_action))] = np.atleast_1d(self.adv_action)
+            self._est = self._est.replace(adv_action=jnp.asarray(adv),
+                                          adv_valid=jnp.ones((), bool))
+            self.adv_action = None
+        est, out = self._step_jit(self._est, jnp.asarray(action, dtype=jnp.float32))
+        self._est = est
+        # Host mirrors.
+        self.state = np.asarray(out.state)
+        self.ctrl_step_counter = int(est.ctrl_step)
+        self.pyb_step_counter = self.ctrl_step_counter * self.PYB_STEPS_PER_CTRL
+        self.current_physical_action = np.asarray(out.physical_action)
+        self.current_noisy_physical_action = np.asarray(out.noisy_action)
+        self.current_clipped_action = np.asarray(out.clipped_action)
+        self.goal_reached = bool(out.goal_reached)
+        self.out_of_bounds = bool(out.out_of_bounds)
+        obs = np.asarray(out.obs)
+        rew = float(out.reward)
+        done = bool(out.done)
+        info = self._build_info(out)
+        return obs, rew, done, info
+
+    def _build_info(self, out: StepOut) -> Dict[str, Any]:
+        """Reference-style step info dict (cartpole.py:674-696 +
+        after_step additions)."""
+        info: Dict[str, Any] = {}
+        if self.TASK == Task.STABILIZATION and self.COST == Cost.QUADRATIC:
+            info['goal_reached'] = bool(out.goal_reached)
+        if getattr(self, 'done_on_out_of_bound', False):
+            info['out_of_bounds'] = bool(out.out_of_bounds)
+        info['mse'] = float(out.mse)
+        info['current_step'] = self.ctrl_step_counter
+        if self.constraints is not None:
+            info['constraint_values'] = np.asarray(out.constraint_values)
+        info['constraint_violation'] = int(out.constraint_violation)
+        if bool(out.truncated):
+            info['TimeLimit.truncated'] = True
+        return info
+
+    def _get_reset_info(self) -> Dict[str, Any]:
+        """Reset info with symbolic model/constraints/priors
+        (cartpole.py:698-717 analog)."""
+        info: Dict[str, Any] = {
+            'symbolic_model': self.symbolic,
+            'x_reference': self.X_GOAL,
+            'u_reference': self.U_GOAL,
+        }
+        if self.constraints is not None:
+            info['symbolic_constraints'] = self.constraints.get_all_symbolic_models()
+        return info
+
+    def close(self):
+        pass
+
+    # Properties for parity.
+    @property
+    def state_dim(self):
+        return self.state_space.shape[0]
+
+    @property
+    def action_dim(self):
+        return self.action_space.shape[0]
+
+    @property
+    def obs_dim(self):
+        return self.observation_space.shape[0]
+
+    def denormalize_action(self, action):
+        raise NotImplementedError
+
+    def normalize_action(self, action):
+        raise NotImplementedError
+
+    def _setup_symbolic(self, prior_prop={}, **kwargs):
+        raise NotImplementedError

@@ -1,0 +1,205 @@
+"""General utilities: attribute-dicts, YAML IO, deep merge, seeding, run dirs.
+
+Replaces reference utils/utils.py (read_file, merge_dict, set_seed,
+set_dir_from_config, get/set_random_state, unwrap_wrapper) and the third-party
+``munch`` dependency with a small self-contained ``ConfigDict``.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import random
+import subprocess
+import sys
+from copy import deepcopy
+from typing import Any, Dict, Optional
+
+import numpy as np
+import yaml
+
+__all__ = [
+    'ConfigDict', 'munchify', 'unmunchify', 'read_file', 'merge_dict',
+    'deep_set', 'set_seed', 'set_seed_from_config', 'set_dir_from_config',
+    'get_random_state', 'set_random_state', 'mkdirs', 'unwrap_wrapper',
+    'is_wrapped', 'timestamp',
+]
+
+
+class ConfigDict(dict):
+    """Dict with attribute access, recursive conversion, and deep copy.
+
+    Drop-in replacement for ``munch.Munch`` as used by the reference's config
+    system (utils/configuration.py).
+    """
+
+    def __init__(self, *args, **kwargs):
+        super().__init__()
+        source = dict(*args, **kwargs)
+        for k, v in source.items():
+            self[k] = self._convert(v)
+
+    @classmethod
+    def _convert(cls, v):
+        if isinstance(v, ConfigDict):
+            return v
+        if isinstance(v, dict):
+            return cls(v)
+        if isinstance(v, (list, tuple)):
+            return type(v)(cls._convert(i) for i in v)
+        return v
+
+    def __setitem__(self, k, v):
+        super().__setitem__(k, self._convert(v))
+
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    def __setattr__(self, name, value):
+        self[name] = value
+
+    def __delattr__(self, name):
+        try:
+            del self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    def __deepcopy__(self, memo):
+        return type(self)({k: deepcopy(v, memo) for k, v in self.items()})
+
+    def toDict(self) -> dict:
+        return unmunchify(self)
+
+
+def munchify(d: Any) -> Any:
+    """Recursively convert dicts to ConfigDict (munch.munchify parity)."""
+    return ConfigDict._convert(d)
+
+
+def unmunchify(d: Any) -> Any:
+    """Recursively convert ConfigDicts back to plain dicts."""
+    if isinstance(d, dict):
+        return {k: unmunchify(v) for k, v in d.items()}
+    if isinstance(d, (list, tuple)):
+        return type(d)(unmunchify(i) for i in d)
+    return d
+
+
+def read_file(file_path: str, sep: str = ','):
+    """Load yaml/json/txt file content (reference utils.py:19-44)."""
+    if file_path is None or not os.path.exists(file_path):
+        return None
+    ext = os.path.splitext(file_path)[-1].lower()
+    with open(file_path, 'r') as f:
+        if ext in ('.yaml', '.yml'):
+            return yaml.safe_load(f)
+        if ext == '.json':
+            return json.load(f)
+        return [line.strip().split(sep) for line in f if line.strip()]
+
+
+def merge_dict(source: Dict, update: Dict) -> Dict:
+    """Recursive in-place deep merge of update into source
+    (reference utils.py:47-60)."""
+    for k, v in update.items():
+        if isinstance(v, dict) and isinstance(source.get(k), dict):
+            merge_dict(source[k], v)
+        else:
+            source[k] = v
+    return source
+
+
+def deep_set(d: Dict, path: str, value: Any, sep: str = '.') -> None:
+    """Set a nested key via 'a.b.c' path, creating dicts along the way
+    (replacement for dict_deep.deep_set, configuration.py:78-87)."""
+    keys = path.split(sep)
+    for k in keys[:-1]:
+        if k not in d or not isinstance(d[k], dict):
+            d[k] = ConfigDict() if isinstance(d, ConfigDict) else {}
+        d = d[k]
+    d[keys[-1]] = value
+
+
+def set_seed(seed: int, cuda: bool = False) -> None:
+    """Seed python/numpy (and torch if importable) RNGs
+    (reference utils.py:63-79). JAX controllers derive PRNG keys from the
+    same seed explicitly."""
+    seed = int(seed)
+    random.seed(seed)
+    np.random.seed(seed)
+    try:  # torch is optional in the TPU build.
+        import torch
+        torch.manual_seed(seed)
+    except ImportError:
+        pass
+
+
+def set_seed_from_config(config) -> None:
+    seed = config.get('seed', None) if hasattr(config, 'get') else None
+    if seed is not None:
+        set_seed(seed)
+
+
+def get_random_state() -> Dict[str, Any]:
+    """Snapshot host RNG states (reference utils.py:82-88)."""
+    return {
+        'random': random.getstate(),
+        'numpy': np.random.get_state(),
+    }
+
+
+def set_random_state(state: Dict[str, Any]) -> None:
+    """Restore host RNG states (reference utils.py:91-95)."""
+    random.setstate(state['random'])
+    np.random.set_state(state['numpy'])
+
+
+def timestamp() -> str:
+    return datetime.datetime.now().strftime('%m.%d.%H.%M.%S')
+
+
+def _git_sha() -> str:
+    try:
+        return subprocess.check_output(
+            ['git', 'rev-parse', '--short', 'HEAD'],
+            stderr=subprocess.DEVNULL).decode().strip()
+    except Exception:
+        return 'nogit'
+
+
+def mkdirs(*paths: str) -> None:
+    for p in paths:
+        if p:
+            os.makedirs(p, exist_ok=True)
+
+
+def set_dir_from_config(config) -> None:
+    """Create the experiment output dir ``{output_dir}/{tag}/seed{n}_{time}_{sha}``
+    and dump config + command line (reference utils.py:109-133)."""
+    base = os.path.join(config.output_dir, config.tag,
+                        f'seed{config.seed}_{timestamp()}_{_git_sha()}')
+    config.output_dir = base
+    mkdirs(base)
+    with open(os.path.join(base, 'config.yaml'), 'w') as f:
+        yaml.dump(unmunchify(config), f, default_flow_style=False)
+    with open(os.path.join(base, 'cmd.txt'), 'a') as f:
+        f.write(' '.join(sys.argv) + '\n')
+
+
+def unwrap_wrapper(env, wrapper_class):
+    """Retrieve a wrapper instance from a possibly wrapped env
+    (reference utils.py:168-182)."""
+    env_tmp = env
+    while hasattr(env_tmp, 'env'):
+        if isinstance(env_tmp, wrapper_class):
+            return env_tmp
+        env_tmp = env_tmp.env
+    return None
+
+
+def is_wrapped(env, wrapper_class) -> bool:
+    return unwrap_wrapper(env, wrapper_class) is not None
