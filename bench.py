@@ -1,0 +1,92 @@
+"""Headline benchmark: batched cartpole simulation throughput on one chip.
+
+Mirrors the reference's only published benchmark (README.md:169-193): cartpole,
+no GUI, ctrl 50 Hz / pyb 1000 Hz, random actions — where the reference reaches
+24.73x realtime, i.e. ~1236.5 control steps/s (with 20 physics substeps each),
+single env, on an i7 CPU.
+
+Here the same workload runs as one jitted scan over 4096 vmapped envs: the
+entire (action pipeline -> 20 substeps -> reward/done/constraints -> auto-
+reset) control step is a single fused XLA program; the only host interaction
+is the final device_get.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N_ENVS = 4096
+N_STEPS = 256          # control steps per timed run
+CTRL_FREQ = 50
+PYB_FREQ = 1000
+REFERENCE_CTRL_STEPS_PER_SEC = 24.73 * CTRL_FREQ  # README.md:182
+
+
+def build():
+    from safe_control_gym_tpu.utils.registration import make
+    env = make('cartpole', seed=0, ctrl_freq=CTRL_FREQ, pyb_freq=PYB_FREQ,
+               episode_len_sec=5)
+    func = env.func
+    reset_v = jax.vmap(func.reset)
+    step_v = jax.vmap(func.step)
+
+    def rollout(states, keys):
+        """N_STEPS control steps with uniform random actions + auto-reset."""
+        def body(carry, _):
+            states, key = carry
+            key, k_act, k_reset = jax.random.split(key, 3)
+            actions = jax.random.uniform(k_act, (N_ENVS, 1),
+                                         minval=-10.0, maxval=10.0)
+            states, out = step_v(states, actions)
+            # Auto-reset done envs (Brax-style, stays on device).
+            reset_keys = jax.random.split(k_reset, N_ENVS)
+            fresh_states, _ = reset_v(reset_keys)
+            states = jax.tree.map(
+                lambda f, s: jnp.where(
+                    out.done.reshape((N_ENVS,) + (1,) * (s.ndim - 1)), f, s)
+                if s.ndim >= 1 else jnp.where(out.done, f, s),
+                fresh_states, states)
+            return (states, key), out.reward
+
+        (states, _), rewards = jax.lax.scan(body, (states, keys), None,
+                                            length=N_STEPS)
+        return states, rewards.sum()
+
+    rollout_jit = jax.jit(rollout, donate_argnums=(0,))
+    return reset_v, rollout_jit
+
+
+def main():
+    reset_v, rollout_jit = build()
+    keys = jax.random.split(jax.random.PRNGKey(0), N_ENVS)
+    states, _ = reset_v(keys)
+    key = jax.random.PRNGKey(1)
+    # Warmup / compile.
+    states, r = rollout_jit(states, key)
+    jax.block_until_ready(r)
+    # Timed runs.
+    best = 0.0
+    for i in range(3):
+        keys2 = jax.random.split(jax.random.PRNGKey(2 + i), N_ENVS)
+        states, _ = reset_v(keys2)
+        t0 = time.perf_counter()
+        states, r = rollout_jit(states, jax.random.PRNGKey(10 + i))
+        jax.block_until_ready(r)
+        dt = time.perf_counter() - t0
+        steps_per_sec = N_ENVS * N_STEPS / dt
+        best = max(best, steps_per_sec)
+    print(json.dumps({
+        'metric': f'cartpole env steps/sec/chip ({N_ENVS} envs, ctrl 50Hz / pyb 1000Hz, random actions)',
+        'value': round(best, 1),
+        'unit': 'ctrl steps/s',
+        'vs_baseline': round(best / REFERENCE_CTRL_STEPS_PER_SEC, 1),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,337 @@
+"""Proximal Policy Optimization — TPU-native rebuild of
+controllers/ppo/ppo.py (359 LoC reference).
+
+Where the reference steps ``rollout_batch_size`` subprocess envs from Python
+(SubprocVecEnv pipes, ppo.py:272-284), here the rollout is a single jitted
+``lax.scan`` over a vmapped functional env batch: acting, stepping, obs/rew
+normalization, truncation bootstrapping (terminal_v, ppo.py:274-283), and
+auto-reset all happen on device; one host dispatch per training iteration.
+GAE and the KL-gated minibatch updates are also fully fused (ppo_utils.py).
+
+Parity map: config surface = ppo.yaml; obs/reward normalizers saved in
+checkpoints incl. PRNG state for exact resume (ppo.py:112-148); periodic /
+interval / best-eval checkpointing (:150-191); deterministic eval via dist
+mode (ppo_utils.py:233-238).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from collections import defaultdict, deque
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from safe_control_gym_tpu.controllers.base_controller import BaseController
+from safe_control_gym_tpu.controllers.ppo.ppo_utils import (
+    PPOAgent, actor_dist, compute_returns_and_advantages, critic_value)
+from safe_control_gym_tpu.math.normalization import (
+    NormalizerState, RetState, ret_init, ret_normalize, ret_update, rms_init,
+    rms_normalize, rms_update)
+from safe_control_gym_tpu.utils.logging import ExperimentLogger
+
+__all__ = ['PPO']
+
+
+class PPO(BaseController):
+    """Proximal policy optimization."""
+
+    def __init__(self, env_func, training=True, checkpoint_path='model_latest.pt',
+                 output_dir='temp', use_gpu=False, seed: int = 0, **kwargs):
+        super().__init__(env_func, training=training,
+                         checkpoint_path=checkpoint_path,
+                         output_dir=output_dir, use_gpu=use_gpu, seed=seed,
+                         **kwargs)
+        # Task envs.
+        self.env = env_func(seed=seed)
+        self.eval_env = env_func(seed=seed * 111 + 1)
+        self.func_env = self.env.func
+        self.N = int(self.rollout_batch_size)
+        self.T = int(self.rollout_steps)
+        self.gamma = float(self.gamma)
+
+        # Agent.
+        self.agent = PPOAgent(self.env.observation_space,
+                              self.env.action_space,
+                              hidden_dim=self.hidden_dim,
+                              use_clipped_value=self.use_clipped_value,
+                              clip_param=self.clip_param,
+                              target_kl=self.target_kl,
+                              entropy_coef=self.entropy_coef,
+                              actor_lr=self.actor_lr,
+                              critic_lr=self.critic_lr,
+                              opt_epochs=self.opt_epochs,
+                              mini_batch_size=self.mini_batch_size,
+                              activation=self.activation,
+                              max_grad_norm=self.max_grad_norm,
+                              seed=seed)
+
+        # Normalizer functional states.
+        obs_dim = self.env.observation_space.shape[0]
+        self.obs_norm_state = rms_init((obs_dim,)) if self.norm_obs else None
+        self.ret_norm_state = ret_init(self.N) if self.norm_reward else None
+
+        self.total_steps = 0
+        self._key = jax.random.PRNGKey(seed)
+        self.logger = ExperimentLogger(output_dir,
+                                       use_tensorboard=getattr(self, 'tensorboard', False))
+        self._rollout_jit = jax.jit(self._make_rollout())
+        self._env_states = None
+        self._obs = None
+
+    # ------------------------------------------------------------------
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def _make_rollout(self):
+        """Fused on-device rollout: T steps x N envs + GAE."""
+        step_v = jax.vmap(self.func_env.step)
+        reset_v = jax.vmap(self.func_env.reset)
+        norm_obs = bool(self.norm_obs)
+        norm_reward = bool(self.norm_reward)
+        clip_obs = float(self.clip_obs)
+        clip_reward = float(self.clip_reward)
+        gamma = self.gamma
+        use_gae = bool(self.use_gae)
+        gae_lambda = float(self.gae_lambda)
+        activation = self.agent.activation
+        N, T = self.N, self.T
+
+        def rollout(params, env_states, obs, obs_norm, ret_state, key):
+            def body(carry, _):
+                env_states, obs, obs_norm, ret_state, key = carry
+                key, k_act, k_reset = jax.random.split(key, 3)
+                if norm_obs:
+                    obs_norm = rms_update(obs_norm, obs)
+                    obs_n = rms_normalize(obs_norm, obs, clip_obs)
+                else:
+                    obs_n = obs
+                dist = actor_dist(params, obs_n, activation)
+                act = dist.sample(k_act)
+                logp = dist.log_prob(act)
+                v = critic_value(params, obs_n, activation)
+                env_states, out = step_v(env_states, act)
+                rew = out.reward
+                if norm_reward:
+                    ret_state = ret_update(ret_state, rew, out.done, gamma)
+                    rew_n = ret_normalize(ret_state, rew, clip_reward)
+                else:
+                    rew_n = rew
+                mask = 1.0 - out.done.astype(jnp.float32)
+                # Terminal value bootstrap on time truncation (ppo.py:274-283).
+                term_obs_n = (rms_normalize(obs_norm, out.obs, clip_obs)
+                              if norm_obs else out.obs)
+                term_v = critic_value(params, term_obs_n, activation)
+                terminal_v = jnp.where(out.truncated[:, None], term_v, 0.0)
+                # Auto-reset done envs.
+                reset_keys = jax.random.split(k_reset, N)
+                fresh_states, fresh_obs = reset_v(reset_keys)
+                done_b = out.done
+                env_states = jax.tree.map(
+                    lambda f, s: jnp.where(
+                        done_b.reshape((N,) + (1,) * (s.ndim - 1)), f, s),
+                    fresh_states, env_states)
+                next_obs = jnp.where(done_b[:, None], fresh_obs, out.obs)
+                ys = (obs_n, act, rew_n[:, None], mask[:, None], v, logp,
+                      terminal_v, rew, out.done, out.mse,
+                      out.constraint_violation)
+                return (env_states, next_obs, obs_norm, ret_state, key), ys
+
+            (env_states, obs, obs_norm, ret_state, key), ys = jax.lax.scan(
+                body, (env_states, obs, obs_norm, ret_state, key), None,
+                length=T)
+            (obs_b, act_b, rew_b, mask_b, v_b, logp_b, term_v_b,
+             raw_rew_b, done_b, mse_b, cviol_b) = ys
+            obs_last_n = (rms_normalize(obs_norm, obs, clip_obs)
+                          if norm_obs else obs)
+            last_val = critic_value(params, obs_last_n, activation)
+            rets, advs = compute_returns_and_advantages(
+                rew_b, v_b, mask_b, term_v_b, last_val, gamma, use_gae,
+                gae_lambda)
+            # Advantage normalization (ppo.py:300).
+            advs = (advs - advs.mean()) / (advs.std() + 1e-6)
+            batch = {
+                'obs': obs_b.reshape(T * N, -1),
+                'act': act_b.reshape(T * N, -1),
+                'logp': logp_b.reshape(T * N, -1),
+                'adv': advs.reshape(T * N, -1),
+                'ret': rets.reshape(T * N, -1),
+                'v': v_b.reshape(T * N, -1),
+            }
+            stats = {
+                'mean_reward': raw_rew_b.mean(),
+                'dones': done_b.sum(),
+                'mean_mse': mse_b.mean(),
+                'constraint_violations': cviol_b.sum(),
+            }
+            return env_states, obs, obs_norm, ret_state, key, batch, stats
+
+        return rollout
+
+    # ------------------------------------------------------------------
+    def reset(self):
+        """Prepare for training or evaluation (ppo.py:83-110 analog)."""
+        if self.training:
+            keys = jax.random.split(self._next_key(), self.N)
+            self._env_states, self._obs = jax.vmap(self.func_env.reset)(keys)
+        self.setup_results_dict()
+
+    def close(self):
+        self.env.close()
+        self.eval_env.close()
+        self.logger.close()
+
+    def setup_results_dict(self):
+        self.results_dict = {'obs': [], 'reward': [], 'done': [], 'info': [],
+                             'action': []}
+
+    # ------------------------------------------------------------------
+    def select_action(self, obs, info=None):
+        """Deterministic (mode) action on (normalized) obs."""
+        obs = jnp.asarray(obs, dtype=jnp.float32)
+        if self.norm_obs and self.obs_norm_state is not None:
+            obs = rms_normalize(self.obs_norm_state, obs, float(self.clip_obs))
+        return self.agent.act(obs)
+
+    # ------------------------------------------------------------------
+    def learn(self, env=None, **kwargs):
+        """Training loop (ppo.py:150-191)."""
+        if self._env_states is None:
+            self.reset()
+        max_env_steps = int(self.max_env_steps)
+        steps_per_iter = self.N * self.T
+        best_eval_return = -np.inf
+        ep_returns = deque(maxlen=int(self.deque_size))
+        while self.total_steps < max_env_steps:
+            start = time.time()
+            obs_norm = self.obs_norm_state if self.norm_obs else rms_init(
+                (self.env.observation_space.shape[0],))
+            ret_state = self.ret_norm_state if self.norm_reward else ret_init(self.N)
+            (self._env_states, self._obs, obs_norm, ret_state, _, batch,
+             stats) = self._rollout_jit(self.agent.params, self._env_states,
+                                        self._obs, obs_norm, ret_state,
+                                        self._next_key())
+            if self.norm_obs:
+                self.obs_norm_state = obs_norm
+            if self.norm_reward:
+                self.ret_norm_state = ret_state
+            results = self.agent.update(batch, self._next_key())
+            self.total_steps += steps_per_iter
+            results.update({k: float(v) for k, v in stats.items()})
+            results['elapsed_time'] = time.time() - start
+            results['step'] = self.total_steps
+            # Interval bookkeeping (ppo.py:156-188).
+            if self.log_interval and self.total_steps % self.log_interval < steps_per_iter:
+                self.log_step(results)
+            if self.save_interval and self.total_steps % self.save_interval < steps_per_iter:
+                self.save(os.path.join(self.output_dir, 'checkpoints',
+                                       f'model_{self.total_steps}.pt'))
+            if self.eval_interval and self.total_steps % self.eval_interval < steps_per_iter:
+                eval_results = self.run(env=self.eval_env,
+                                        n_episodes=int(self.eval_batch_size))
+                results['eval_return'] = eval_results['ep_returns'].mean()
+                ep_returns.append(results['eval_return'])
+                if self.eval_save_best and results['eval_return'] > best_eval_return:
+                    best_eval_return = results['eval_return']
+                    self.save(os.path.join(self.output_dir, 'model_best.pt'))
+            self.save(self.checkpoint_path)
+        return
+
+    def run(self, env=None, render=False, n_episodes=10, verbose=False,
+            **kwargs):
+        """Deterministic evaluation (ppo.py:193-257 analog): n_episodes
+        batched functional envs scanned to completion on device."""
+        if env is None:
+            env = self.eval_env
+        func = env.func
+        max_steps = func.max_steps + 1
+        params = self.agent.params
+        norm_obs = self.norm_obs
+        clip_obs = float(self.clip_obs)
+        obs_norm = self.obs_norm_state
+        activation = self.agent.activation
+
+        @jax.jit
+        def eval_rollout(keys):
+            states, obs = jax.vmap(func.reset)(keys)
+            alive0 = jnp.ones((n_episodes,), bool)
+
+            def body(carry, _):
+                states, obs, alive = carry
+                obs_n = (rms_normalize(obs_norm, obs, clip_obs)
+                         if norm_obs else obs)
+                act = actor_dist(params, obs_n, activation).mode()
+                states, out = step_v(states, act)
+                rew = jnp.where(alive, out.reward, 0.0)
+                length = alive.astype(jnp.float32)
+                mse = jnp.where(alive, out.mse, 0.0)
+                alive = jnp.logical_and(alive, jnp.logical_not(out.done))
+                return (states, out.obs, alive), (rew, length, mse)
+
+            step_v = jax.vmap(func.step)
+            (_, _, _), (rews, lengths, mses) = jax.lax.scan(
+                body, (states, obs, alive0), None, length=max_steps)
+            return rews.sum(0), lengths.sum(0), mses.sum(0) / jnp.maximum(
+                lengths.sum(0), 1.0)
+
+        keys = jax.random.split(self._next_key(), n_episodes)
+        ep_returns, ep_lengths, ep_mse = eval_rollout(keys)
+        return {'ep_returns': np.asarray(ep_returns),
+                'ep_lengths': np.asarray(ep_lengths),
+                'ep_mse': np.asarray(ep_mse)}
+
+    # ------------------------------------------------------------------
+    def log_step(self, results):
+        """Log training stats (ppo.py:305-359)."""
+        step = results.get('step', self.total_steps)
+        for k in ('policy_loss', 'value_loss', 'entropy_loss', 'approx_kl',
+                  'mean_reward', 'eval_return', 'elapsed_time'):
+            if k in results:
+                self.logger.add_scalar(f'ppo/{k}', results[k], step)
+        self.logger.dump_scalars()
+
+    # ------------------------------------------------------------------
+    def save(self, path):
+        """Checkpoint params, optimizers, normalizers, counters, PRNG, and
+        vec-env state for exact resume (ppo.py:112-131)."""
+        if not path:
+            return
+        os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
+        state = {
+            'agent': self.agent.state_dict(),
+            'obs_norm_state': (jax.tree.map(np.asarray, self.obs_norm_state)
+                               if self.obs_norm_state is not None else None),
+            'ret_norm_state': (jax.tree.map(np.asarray, self.ret_norm_state)
+                               if self.ret_norm_state is not None else None),
+            'total_steps': self.total_steps,
+            'key': np.asarray(self._key),
+        }
+        if self.training and self._env_states is not None:
+            state['env_states'] = jax.tree.map(np.asarray, self._env_states)
+            state['obs'] = np.asarray(self._obs)
+        with open(path, 'wb') as f:
+            pickle.dump(state, f)
+
+    def load(self, path):
+        """Restore from checkpoint (ppo.py:133-148)."""
+        with open(path, 'rb') as f:
+            state = pickle.load(f)
+        self.agent.load_state_dict(state['agent'])
+        if state.get('obs_norm_state') is not None:
+            self.obs_norm_state = jax.tree.map(jnp.asarray,
+                                               state['obs_norm_state'])
+        if state.get('ret_norm_state') is not None:
+            self.ret_norm_state = jax.tree.map(jnp.asarray,
+                                               state['ret_norm_state'])
+        self.total_steps = int(state.get('total_steps', 0))
+        if 'key' in state:
+            self._key = jnp.asarray(state['key'])
+        if 'env_states' in state:
+            self._env_states = jax.tree.map(jnp.asarray, state['env_states'])
+            self._obs = jnp.asarray(state['obs'])

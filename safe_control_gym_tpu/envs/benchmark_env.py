@@ -637,15 +637,29 @@ class BenchmarkEnv(gym.Env):
 
     def _get_reset_info(self) -> Dict[str, Any]:
         """Reset info with symbolic model/constraints/priors
-        (cartpole.py:698-717 analog)."""
+        (cartpole.py:698-717, benchmark_env.py:355)."""
         info: Dict[str, Any] = {
             'symbolic_model': self.symbolic,
+            'physical_parameters': self._physical_parameters(),
             'x_reference': self.X_GOAL,
             'u_reference': self.U_GOAL,
+            'current_step': 0,
         }
         if self.constraints is not None:
             info['symbolic_constraints'] = self.constraints.get_all_symbolic_models()
+            # Cannot evaluate input constraints without an action at reset.
+            info['constraint_values'] = self.constraints.get_values(self, only_state=True)
         return info
+
+    def _physical_parameters(self) -> Dict[str, Any]:
+        """This episode's (possibly randomized) physical parameters."""
+        if getattr(self, '_est', None) is not None:
+            return {k: np.asarray(v) for k, v in
+                    vars(self._est.dyn_params).items()} if hasattr(
+                        self._est.dyn_params, '__dict__') else {
+                        k: np.asarray(getattr(self._est.dyn_params, k))
+                        for k in self._est.dyn_params.__dataclass_fields__}
+        return {}
 
     def close(self):
         pass
