@@ -15,6 +15,18 @@ register(idx='pid',
          entry_point='safe_control_gym_tpu.controllers.pid.pid:PID',
          config_entry_point='safe_control_gym_tpu.controllers.pid:pid.yaml')
 
+register(idx='mpc',
+         entry_point='safe_control_gym_tpu.controllers.mpc.mpc:MPC',
+         config_entry_point='safe_control_gym_tpu.controllers.mpc:mpc.yaml')
+
+register(idx='linear_mpc',
+         entry_point='safe_control_gym_tpu.controllers.mpc.linear_mpc:LinearMPC',
+         config_entry_point='safe_control_gym_tpu.controllers.mpc:linear_mpc.yaml')
+
+register(idx='mpc_acados',
+         entry_point='safe_control_gym_tpu.controllers.mpc.mpc_acados:MPC_ACADOS',
+         config_entry_point='safe_control_gym_tpu.controllers.mpc:mpc_acados.yaml')
+
 register(idx='ppo',
          entry_point='safe_control_gym_tpu.controllers.ppo.ppo:PPO',
          config_entry_point='safe_control_gym_tpu.controllers.ppo:ppo.yaml')

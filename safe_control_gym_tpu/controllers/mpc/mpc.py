@@ -1,0 +1,387 @@
+"""Nonlinear Model Predictive Control — TPU-native rebuild of
+controllers/mpc/mpc.py (375 LoC reference).
+
+The reference builds a CasADi Opti multiple-shooting NLP solved by IPOPT /
+qrsqp on the host C++ side (mpc.py:170-246). Here the whole
+linearize -> QP -> update loop is an on-device SQP:
+
+* RK4-discretized prior dynamics (rk_discrete parity, mpc_utils.py:42-64);
+* per-SQP-iteration Jacobians/defects via vmapped ``jax.jacfwd``;
+* the sparse multiple-shooting QP (states + inputs + shared slack variables,
+  matching the reference's variable layout mpc.py:185-241) solved by the
+  OSQP-style ADMM kernel in :mod:`safe_control_gym_tpu.ops.qp` with a single
+  Cholesky factorization per iteration;
+* fixed SQP iteration count under ``lax.scan`` -> ONE jitted solve per
+  control step; warm-started by the shifted previous solution
+  (mpc.py:285-292).
+
+Infeasibility handling mirrors the reference's fallback ladder
+(mpc.py:298-316): feasibility is judged by the final QP primal residual.
+"""
+
+from __future__ import annotations
+
+from copy import deepcopy
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from safe_control_gym_tpu.controllers.base_controller import BaseController
+from safe_control_gym_tpu.controllers.lqr.lqr_utils import (
+    discretize_linear_system, get_cost_weight_matrix)
+from safe_control_gym_tpu.controllers.mpc.mpc_utils import (
+    compute_discrete_lqr_gain_from_cont_linear_system, reset_constraints,
+    rk_discrete)
+from safe_control_gym_tpu.envs.benchmark_env import Task
+from safe_control_gym_tpu.envs.constraints import (GENERAL_CONSTRAINTS,
+                                                   create_constraint_list)
+from safe_control_gym_tpu.ops.qp import admm_qp
+
+__all__ = ['MPC']
+
+
+class MPC(BaseController):
+    """MPC with full nonlinear model, solved on device by SQP+ADMM."""
+
+    def __init__(self,
+                 env_func,
+                 horizon: int = 5,
+                 q_mpc: list = [1],
+                 r_mpc: list = [1],
+                 warmstart: bool = True,
+                 soft_constraints: bool = False,
+                 soft_penalty: float = 10000,
+                 constraint_tol: float = 1e-6,
+                 use_lqr_gain_and_terminal_cost: bool = False,
+                 solver: str = 'sqp',
+                 sqp_iters: int = 3,
+                 qp_iters: int = 250,
+                 additional_constraints: Optional[list] = None,
+                 **kwargs):
+        super().__init__(env_func=env_func, **kwargs)
+        self.env = env_func()
+        if additional_constraints is not None:
+            additional = create_constraint_list(
+                additional_constraints, GENERAL_CONSTRAINTS, self.env).constraints
+            self.additional_constraints = additional
+            (self.constraints, self.state_constraints_sym,
+             self.input_constraints_sym) = reset_constraints(
+                (self.env.constraints.constraints if self.env.constraints else [])
+                + additional)
+        else:
+            (self.constraints, self.state_constraints_sym,
+             self.input_constraints_sym) = reset_constraints(
+                self.env.constraints.constraints if self.env.constraints else [])
+            self.additional_constraints = []
+
+        self.model = self.get_prior(self.env)
+        self.dt = self.model.dt
+        self.T = int(horizon)
+        self.Q = get_cost_weight_matrix(q_mpc, self.model.nx)
+        self.R = get_cost_weight_matrix(r_mpc, self.model.nu)
+        self.constraint_tol = constraint_tol
+        self.soft_constraints = soft_constraints
+        self.soft_penalty = soft_penalty
+        self.warmstart = warmstart
+        self.use_lqr_gain_and_terminal_cost = use_lqr_gain_and_terminal_cost
+        self.solver = solver
+        self.sqp_iters = int(sqp_iters)
+        self.qp_iters = int(qp_iters)
+        self.X_EQ = np.atleast_1d(np.asarray(self.model.X_EQ))
+        self.U_EQ = np.atleast_1d(np.asarray(self.model.U_EQ))
+        if self.env.TASK == Task.STABILIZATION:
+            self.x_goal = self.env.X_GOAL
+        elif self.env.TASK == Task.TRAJ_TRACKING:
+            self.traj = self.env.X_GOAL.T
+        self.terminate_loop = False
+
+    # ------------------------------------------------------------------
+    def add_constraints(self, constraints):
+        (self.constraints, self.state_constraints_sym,
+         self.input_constraints_sym) = reset_constraints(
+            constraints + self.constraints.constraints)
+
+    def remove_constraints(self, constraints):
+        old = self.constraints.constraints
+        for c in constraints:
+            assert c in old, ValueError('This constraint is not in the current list of constraints')
+            old.remove(c)
+        (self.constraints, self.state_constraints_sym,
+         self.input_constraints_sym) = reset_constraints(old)
+
+    def close(self):
+        self.env.close()
+
+    def reset_before_run(self, obs=None, info=None, env=None):
+        self.x_prev = None
+        self.u_prev = None
+        self._qp_warm = None
+        super().reset_before_run(obs, info, env)
+
+    def reset(self):
+        """Build dynamics + the jitted SQP solver (mpc.py:132-139)."""
+        self.set_dynamics_func()
+        self.setup_optimizer(self.solver)
+        self.reset_before_run()
+
+    # ------------------------------------------------------------------
+    def set_dynamics_func(self):
+        """Discrete dynamics + ancillary LQR gain/terminal cost
+        (mpc.py:141-168)."""
+        df = self.model.df_func(x=self.X_EQ, u=self.U_EQ)
+        dfdx = np.asarray(df['dfdx'])
+        dfdu = np.asarray(df['dfdu'])
+        self.dfdx, self.dfdu = dfdx, dfdu
+        Ad, Bd = discretize_linear_system(dfdx, dfdu, self.dt, exact=True)
+        self.Ad, self.Bd = np.asarray(Ad), np.asarray(Bd)
+        self.lqr_gain, _, _, self.P = \
+            compute_discrete_lqr_gain_from_cont_linear_system(
+                dfdx, dfdu, self.Q, self.R, self.dt)
+        self.dynamics_func = rk_discrete(self.model.fc_fn, self.model.nx,
+                                         self.model.nu, self.dt)
+
+    # -- constraint stacks ----------------------------------------------
+    def _stacked_state_con(self):
+        fns = self.state_constraints_sym
+        if not fns:
+            return None, 0
+        def g(x):
+            return jnp.concatenate([jnp.atleast_1d(f(x)) for f in fns])
+        ms = int(sum(np.atleast_1d(np.asarray(f(jnp.zeros(self.model.nx)))).shape[0]
+                     for f in fns))
+        return g, ms
+
+    def _stacked_input_con(self):
+        fns = self.input_constraints_sym
+        if not fns:
+            return None, 0
+        def h(u):
+            return jnp.concatenate([jnp.atleast_1d(f(u)) for f in fns])
+        mu = int(sum(np.atleast_1d(np.asarray(f(jnp.zeros(self.model.nu)))).shape[0]
+                     for f in fns))
+        return h, mu
+
+    # ------------------------------------------------------------------
+    def setup_optimizer(self, solver='sqp'):
+        """Assemble the static QP structure and compile the SQP solve
+        (replaces Opti construction, mpc.py:170-246)."""
+        nx, nu, T = self.model.nx, self.model.nu, self.T
+        g_fn, ms = self._stacked_state_con()
+        h_fn, mu = self._stacked_input_con()
+        soft = bool(self.soft_constraints)
+        n_slack = (ms + mu) if soft else 0
+        nX = (T + 1) * nx
+        nU = T * nu
+        n_z = nX + nU + n_slack
+        # Rows: init eq, dynamics eq, state ineq ((T+1)*ms), input ineq
+        # (T*mu), slack >= 0.
+        m_rows = nx + T * nx + (T + 1) * ms + T * mu + n_slack
+
+        # Constant cost Hessian (mpc.py:192-210): stage Q, terminal Q or P,
+        # inputs R, slack quadratic penalty.
+        Qterm = self.P if self.use_lqr_gain_and_terminal_cost else self.Q
+        P_diagblocks = ([self.Q] * T + [Qterm] + [self.R] * T
+                        + ([np.eye(n_slack) * 2 * self.soft_penalty]
+                           if n_slack else []))
+        P_qp = np.zeros((n_z, n_z))
+        ofs = 0
+        for blk in P_diagblocks:
+            d = blk.shape[0]
+            P_qp[ofs:ofs + d, ofs:ofs + d] = blk
+            ofs += d
+        self._P_qp = jnp.asarray(P_qp, jnp.float32)
+
+        # Index templates for the per-iteration scatter writes (numpy,
+        # compile-time constants).
+        def block_indices(row0, col0, n_blocks, br, bc, row_stride, col_stride):
+            k = np.arange(n_blocks)[:, None, None]
+            i = np.arange(br)[None, :, None]
+            j = np.arange(bc)[None, None, :]
+            rows = row0 + k * row_stride + i
+            cols = col0 + k * col_stride + j
+            return (np.broadcast_to(rows, (n_blocks, br, bc)).reshape(-1),
+                    np.broadcast_to(cols, (n_blocks, br, bc)).reshape(-1))
+
+        r_dyn0 = nx  # after init rows
+        self._idx_dynA = block_indices(r_dyn0, 0, T, nx, nx, nx, nx)
+        self._idx_dynB = block_indices(r_dyn0, nX, T, nx, nu, nx, nu)
+        r_sc0 = nx + T * nx
+        if ms:
+            self._idx_G = block_indices(r_sc0, 0, T + 1, ms, nx, ms, nx)
+        r_ic0 = r_sc0 + (T + 1) * ms
+        if mu:
+            self._idx_H = block_indices(r_ic0, nX, T, mu, nu, mu, nu)
+        r_sl0 = r_ic0 + T * mu
+
+        # Constant base matrix: init identity, +I blocks of dynamics,
+        # slack coupling, slack positivity.
+        A_base = np.zeros((m_rows, n_z))
+        A_base[:nx, :nx] = np.eye(nx)
+        for k in range(T):
+            A_base[r_dyn0 + k * nx:r_dyn0 + (k + 1) * nx,
+                   (k + 1) * nx:(k + 2) * nx] = np.eye(nx)
+        if soft and ms:
+            for k in range(T + 1):
+                A_base[r_sc0 + k * ms:r_sc0 + (k + 1) * ms,
+                       nX + nU:nX + nU + ms] = -np.eye(ms)
+        if soft and mu:
+            for k in range(T):
+                A_base[r_ic0 + k * mu:r_ic0 + (k + 1) * mu,
+                       nX + nU + ms:nX + nU + ms + mu] = -np.eye(mu)
+        if n_slack:
+            A_base[r_sl0:r_sl0 + n_slack, nX + nU:nX + nU + n_slack] = \
+                np.eye(n_slack)
+        self._A_base = jnp.asarray(A_base, jnp.float32)
+
+        fd = self.dynamics_func
+        Q = jnp.asarray(self.Q, jnp.float32)
+        Qterm_j = jnp.asarray(Qterm, jnp.float32)
+        R = jnp.asarray(self.R, jnp.float32)
+        U_EQ = jnp.asarray(self.U_EQ, jnp.float32)
+        tol = float(self.constraint_tol)
+        qp_iters = self.qp_iters
+        sqp_iters = self.sqp_iters
+        idx_dynA, idx_dynB = self._idx_dynA, self._idx_dynB
+        idx_G = self._idx_G if ms else None
+        idx_H = self._idx_H if mu else None
+        A_base_j = self._A_base
+        P_qp_j = self._P_qp
+        big = 1e8
+
+        def build_and_solve(x_init, goal_states, X, U, z0, y0):
+            # Jacobians + defects at the current guess.
+            A_k = jax.vmap(jax.jacfwd(fd, argnums=0))(X[:-1], U)
+            B_k = jax.vmap(jax.jacfwd(fd, argnums=1))(X[:-1], U)
+            f_k = jax.vmap(fd)(X[:-1], U)
+            c_k = f_k - jnp.einsum('kij,kj->ki', A_k, X[:-1]) \
+                - jnp.einsum('kij,kj->ki', B_k, U)
+            A_mat = A_base_j
+            A_mat = A_mat.at[idx_dynA].set(-A_k.reshape(-1))
+            A_mat = A_mat.at[idx_dynB].set(-B_k.reshape(-1))
+            l = jnp.full((m_rows,), -big, jnp.float32)
+            u = jnp.full((m_rows,), big, jnp.float32)
+            l = l.at[:nx].set(x_init)
+            u = u.at[:nx].set(x_init)
+            l = l.at[r_dyn0:r_dyn0 + T * nx].set(c_k.reshape(-1))
+            u = u.at[r_dyn0:r_dyn0 + T * nx].set(c_k.reshape(-1))
+            if ms:
+                G_k = jax.vmap(jax.jacfwd(g_fn))(X)
+                g_val = jax.vmap(g_fn)(X)
+                b_s = jnp.einsum('kij,kj->ki', G_k, X) - g_val
+                if not soft:
+                    b_s = b_s - tol
+                A_mat = A_mat.at[idx_G].set(G_k.reshape(-1))
+                u = u.at[r_sc0:r_sc0 + (T + 1) * ms].set(b_s.reshape(-1))
+            if mu:
+                H_k = jax.vmap(jax.jacfwd(h_fn))(U)
+                h_val = jax.vmap(h_fn)(U)
+                b_u = jnp.einsum('kij,kj->ki', H_k, U) - h_val
+                if not soft:
+                    b_u = b_u - tol
+                A_mat = A_mat.at[idx_H].set(H_k.reshape(-1))
+                u = u.at[r_ic0:r_ic0 + T * mu].set(b_u.reshape(-1))
+            if n_slack:
+                l = l.at[r_sl0:].set(0.0)
+            # Linear cost from references (stage -Q xr, terminal -Qterm xr,
+            # inputs -R U_EQ).
+            q_x = (-goal_states[:T] @ Q).reshape(-1)
+            q_xT = -(Qterm_j @ goal_states[T])
+            q_u = jnp.tile(-(R @ U_EQ), (T,))
+            q = jnp.concatenate([q_x, q_xT, q_u,
+                                 jnp.zeros((n_slack,), jnp.float32)])
+            sol = admm_qp(P_qp_j, q, A_mat, l, u, x0=z0, y0=y0,
+                          iters=qp_iters)
+            X_new = sol.x[:nX].reshape(T + 1, nx)
+            U_new = sol.x[nX:nX + nU].reshape(T, nu)
+            return X_new, U_new, sol.x, sol.y, sol.prim_res
+
+        def solve(x_init, goal_states, X0, U0, z0, y0):
+            def body(carry, _):
+                X, U, z, y = carry
+                X, U, z, y, res = build_and_solve(x_init, goal_states, X, U,
+                                                  z, y)
+                return (X, U, z, y), res
+            (X, U, z, y), res = jax.lax.scan(body, (X0, U0, z0, y0), None,
+                                             length=sqp_iters)
+            return X, U, z, y, res[-1]
+
+        self._n_z = n_z
+        self._m_rows = m_rows
+        self._solve_jit = jax.jit(solve)
+
+    # ------------------------------------------------------------------
+    def select_action(self, obs, info=None):
+        """Warm-started receding-horizon solve (mpc.py:257-332)."""
+        nx, nu, T = self.model.nx, self.model.nu, self.T
+        step = self.extract_step(info)
+        goal_states = self.get_references(step)  # (nx, T+1)
+        goal_j = jnp.asarray(goal_states.T, jnp.float32)
+        obs_j = jnp.asarray(obs, jnp.float32)
+        if self.warmstart and self.x_prev is not None and self.u_prev is not None:
+            x_guess = np.roll(self.x_prev, -1, axis=1)
+            x_guess[:, -1] = self.x_prev[:, -1]
+            u_guess = np.roll(np.atleast_2d(self.u_prev), -1, axis=-1)
+            X0 = jnp.asarray(x_guess.T, jnp.float32)
+            U0 = jnp.asarray(u_guess.reshape(nu, T).T, jnp.float32)
+            z0, y0 = self._qp_warm
+        else:
+            X0 = jnp.tile(obs_j, (T + 1, 1))
+            U0 = jnp.tile(jnp.asarray(self.U_EQ, jnp.float32), (T, 1))
+            z0 = jnp.zeros((self._n_z,), jnp.float32)
+            y0 = jnp.zeros((self._m_rows,), jnp.float32)
+        X, U, z, y, res = self._solve_jit(obs_j, goal_j, X0, U0, z0, y0)
+        feasible = bool(np.isfinite(float(res)) and float(res) < 1e-2)
+        if feasible:
+            x_val = np.asarray(X).T       # (nx, T+1) like the reference
+            u_val = np.asarray(U).T.squeeze()  # (nu, T) -> squeeze like opti
+            self._qp_warm = (z, y)
+        else:
+            # Fallback ladder (mpc.py:298-316).
+            if self.u_prev is None:
+                u_val = np.zeros((nu, T)).squeeze()
+                x_val = np.zeros((nx, T + 1))
+            else:
+                u_val = self.u_prev
+                x_val = self.x_prev
+            self.terminate_loop = True
+        self.x_prev = x_val
+        self.u_prev = u_val
+        self.results_dict['horizon_states'].append(deepcopy(self.x_prev))
+        self.results_dict['horizon_inputs'].append(deepcopy(self.u_prev))
+        self.results_dict['goal_states'].append(deepcopy(goal_states))
+        u_arr = np.atleast_2d(u_val)
+        if u_arr.shape[0] != nu:
+            u_arr = u_arr.reshape(nu, -1)
+        action = np.array(u_arr[:, 0]).reshape(nu)
+        if self.use_lqr_gain_and_terminal_cost:
+            action = action + self.lqr_gain @ (np.asarray(obs) - x_val[:, 0])
+        self.prev_action = action
+        return action
+
+    def get_references(self, step):
+        """Reference window over the horizon, (nx, T+1) (mpc.py:334-357)."""
+        if self.env.TASK == Task.STABILIZATION:
+            goal_states = np.tile(self.env.X_GOAL.reshape(-1, 1),
+                                  (1, self.T + 1))
+        elif self.env.TASK == Task.TRAJ_TRACKING:
+            start = min(step, self.traj.shape[-1])
+            end = min(step + self.T + 1, self.traj.shape[-1])
+            remain = max(0, self.T + 1 - (end - start))
+            goal_states = np.concatenate([
+                self.traj[:, start:end],
+                np.tile(self.traj[:, -1:], (1, remain))], -1)
+        else:
+            raise Exception('Reference for this mode is not implemented.')
+        return goal_states
+
+    def setup_results_dict(self):
+        self.results_dict = {'obs': [], 'reward': [], 'done': [], 'info': [],
+                             'action': [], 'horizon_inputs': [],
+                             'horizon_states': [], 'goal_states': [],
+                             'frames': [], 'state_mse': [], 'common_cost': [],
+                             'state': [], 'state_error': [], 't_wall': []}
+
+    def learn(self, env=None, **kwargs):
+        return
