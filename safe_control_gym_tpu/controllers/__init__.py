@@ -23,6 +23,10 @@ register(idx='linear_mpc',
          entry_point='safe_control_gym_tpu.controllers.mpc.linear_mpc:LinearMPC',
          config_entry_point='safe_control_gym_tpu.controllers.mpc:linear_mpc.yaml')
 
+register(idx='gp_mpc',
+         entry_point='safe_control_gym_tpu.controllers.mpc.gp_mpc:GPMPC',
+         config_entry_point='safe_control_gym_tpu.controllers.mpc:gp_mpc.yaml')
+
 register(idx='mpc_acados',
          entry_point='safe_control_gym_tpu.controllers.mpc.mpc_acados:MPC_ACADOS',
          config_entry_point='safe_control_gym_tpu.controllers.mpc:mpc_acados.yaml')
@@ -30,3 +34,23 @@ register(idx='mpc_acados',
 register(idx='ppo',
          entry_point='safe_control_gym_tpu.controllers.ppo.ppo:PPO',
          config_entry_point='safe_control_gym_tpu.controllers.ppo:ppo.yaml')
+
+register(idx='sac',
+         entry_point='safe_control_gym_tpu.controllers.sac.sac:SAC',
+         config_entry_point='safe_control_gym_tpu.controllers.sac:sac.yaml')
+
+register(idx='ddpg',
+         entry_point='safe_control_gym_tpu.controllers.ddpg.ddpg:DDPG',
+         config_entry_point='safe_control_gym_tpu.controllers.ddpg:ddpg.yaml')
+
+register(idx='safe_explorer_ppo',
+         entry_point='safe_control_gym_tpu.controllers.safe_explorer.safe_ppo:SafeExplorerPPO',
+         config_entry_point='safe_control_gym_tpu.controllers.safe_explorer:safe_explorer_ppo.yaml')
+
+register(idx='rarl',
+         entry_point='safe_control_gym_tpu.controllers.rarl.rarl:RARL',
+         config_entry_point='safe_control_gym_tpu.controllers.rarl:rarl.yaml')
+
+register(idx='rap',
+         entry_point='safe_control_gym_tpu.controllers.rarl.rap:RAP',
+         config_entry_point='safe_control_gym_tpu.controllers.rarl:rap.yaml')

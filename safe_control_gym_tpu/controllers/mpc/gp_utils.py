@@ -1,0 +1,244 @@
+"""Gaussian-process machinery for GP-MPC — JAX rebuild of
+controllers/mpc/gp_utils.py (1236 LoC reference).
+
+The reference trains per-output-dim gpytorch exact GPs (zero mean, SE/Matern
+ARD kernels) with Adam on the exact marginal log-likelihood and exports
+CasADi kernel/prediction functions so the GP mean can enter the MPC
+constraints (gp_utils.py:19-59, 218-586, 1147-1181). Here everything is one
+stack of parameters:
+
+* kernels are pure functions (``cov_se_ard`` / ``cov_matern52_ard``);
+* per-dim GPs are a stacked parameter pytree trained with a single vmapped,
+  jitted Adam loop (replacing the per-dim torch training loops);
+* prediction is pure JAX (Cholesky solves), differentiable, and therefore
+  drops straight into the SQP-based MPC — the role the CasADi export played;
+* ``kmeans_centriods`` (inducing-point selection) is a small jitted Lloyd
+  iteration.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+__all__ = ['cov_se_ard', 'cov_matern52_ard', 'GaussianProcess',
+           'GaussianProcessCollection', 'kmeans_centriods']
+
+
+def cov_se_ard(x1, x2, lengthscales, signal_var):
+    """Squared-exponential ARD kernel (gp_utils.py:19-38)."""
+    d = (x1[:, None, :] - x2[None, :, :]) / lengthscales[None, None, :]
+    return signal_var * jnp.exp(-0.5 * jnp.sum(d ** 2, axis=-1))
+
+
+def cov_matern52_ard(x1, x2, lengthscales, signal_var):
+    """Matern 5/2 ARD kernel (gp_utils.py:41-59)."""
+    d = (x1[:, None, :] - x2[None, :, :]) / lengthscales[None, None, :]
+    r = jnp.sqrt(jnp.sum(d ** 2, axis=-1) + 1e-12)
+    sr5 = jnp.sqrt(5.0) * r
+    return signal_var * (1 + sr5 + 5.0 / 3.0 * r ** 2) * jnp.exp(-sr5)
+
+
+_KERNELS = {'RBF': cov_se_ard, 'Matern': cov_matern52_ard}
+
+
+def _nll(params, X, Y, kernel_fn):
+    """Negative exact marginal log likelihood for one output dim."""
+    ls = jnp.exp(params['log_lengthscales'])
+    sv = jnp.exp(params['log_signal_var'])
+    nv = jnp.exp(params['log_noise_var'])
+    K = kernel_fn(X, X, ls, sv) + (nv + 1e-6) * jnp.eye(X.shape[0])
+    L = jnp.linalg.cholesky(K)
+    alpha = jax.scipy.linalg.cho_solve((L, True), Y)
+    return (0.5 * Y @ alpha + jnp.sum(jnp.log(jnp.diag(L)))
+            + 0.5 * X.shape[0] * jnp.log(2 * jnp.pi))
+
+
+class GaussianProcess:
+    """Single-output exact GP (gp_utils.py:896-1181 parity)."""
+
+    def __init__(self, input_dim, kernel='Matern', noise_prior=None):
+        self.input_dim = input_dim
+        self.kernel_name = kernel
+        self.kernel_fn = _KERNELS[kernel]
+        self.params = {
+            'log_lengthscales': jnp.zeros(input_dim),
+            'log_signal_var': jnp.zeros(()),
+            'log_noise_var': jnp.log(jnp.asarray(0.1)),
+        }
+        self.X = None
+        self.Y = None
+        self._alpha = None
+        self._K_inv = None
+
+    def train(self, X, Y, n_train=500, learning_rate=0.01, verbose=False):
+        """Adam on the exact MLL (gp_utils.py:998-1090 semantics, jitted)."""
+        X = jnp.asarray(X, jnp.float32)
+        Y = jnp.asarray(Y, jnp.float32).reshape(-1)
+        kernel_fn = self.kernel_fn
+        opt = optax.adam(learning_rate)
+
+        @jax.jit
+        def run(params):
+            state = opt.init(params)
+
+            def body(carry, _):
+                params, state = carry
+                loss, g = jax.value_and_grad(_nll)(params, X, Y, kernel_fn)
+                updates, state = opt.update(g, state)
+                params = optax.apply_updates(params, updates)
+                return (params, state), loss
+
+            (params, _), losses = jax.lax.scan(body, (params, state), None,
+                                               length=n_train)
+            return params, losses
+
+        self.params, losses = run(self.params)
+        self.X, self.Y = X, Y
+        self._precompute()
+        return float(losses[-1])
+
+    def _precompute(self):
+        """Cache K+sigma^2I factor / inverse (gp_utils.py:956-970)."""
+        ls = jnp.exp(self.params['log_lengthscales'])
+        sv = jnp.exp(self.params['log_signal_var'])
+        nv = jnp.exp(self.params['log_noise_var'])
+        K = self.kernel_fn(self.X, self.X, ls, sv) \
+            + (nv + 1e-6) * jnp.eye(self.X.shape[0])
+        L = jnp.linalg.cholesky(K)
+        self._chol = L
+        self._alpha = jax.scipy.linalg.cho_solve((L, True), self.Y)
+        self._K_inv = jax.scipy.linalg.cho_solve((L, True),
+                                                 jnp.eye(self.X.shape[0]))
+
+    def predict(self, x_star, return_pred=False):
+        """Posterior mean + variance (gp_utils.py:1092-1129)."""
+        x_star = jnp.atleast_2d(jnp.asarray(x_star, jnp.float32))
+        ls = jnp.exp(self.params['log_lengthscales'])
+        sv = jnp.exp(self.params['log_signal_var'])
+        k_star = self.kernel_fn(x_star, self.X, ls, sv)
+        mean = k_star @ self._alpha
+        v = jax.scipy.linalg.cho_solve((self._chol, True), k_star.T)
+        var = (sv - jnp.sum(k_star * v.T, axis=1))
+        return np.asarray(mean), np.asarray(var)
+
+    def make_casadi_prediction_func(self):
+        """Pure mean-prediction function (the CasADi export's role,
+        gp_utils.py:1147-1181): differentiable, jittable."""
+        X = self.X
+        alpha = self._alpha
+        ls = jnp.exp(self.params['log_lengthscales'])
+        sv = jnp.exp(self.params['log_signal_var'])
+        kernel_fn = self.kernel_fn
+
+        def mean_fn(z):
+            k = kernel_fn(jnp.atleast_2d(z), X, ls, sv)
+            return (k @ alpha)[0]
+
+        return mean_fn
+
+    def prediction_jacobian(self, z):
+        """d mean / d z (gp_utils.py:1131-1145)."""
+        fn = self.make_casadi_prediction_func()
+        return np.asarray(jax.jacfwd(fn)(jnp.asarray(z, jnp.float32)))
+
+    def state_dict(self):
+        return {'params': jax.tree.map(np.asarray, self.params),
+                'X': np.asarray(self.X), 'Y': np.asarray(self.Y)}
+
+    def load_state_dict(self, sd):
+        self.params = jax.tree.map(jnp.asarray, sd['params'])
+        self.X = jnp.asarray(sd['X'])
+        self.Y = jnp.asarray(sd['Y'])
+        self._precompute()
+
+
+class GaussianProcessCollection:
+    """One GP per target dim with vmapped training
+    (gp_utils.py:218-586 parity)."""
+
+    def __init__(self, model_type=None, likelihood=None, target_dim=1,
+                 input_mask=None, target_mask=None, kernel='Matern',
+                 **kwargs):
+        self.target_dim = target_dim
+        self.input_mask = input_mask
+        self.target_mask = target_mask
+        self.kernel_name = kernel
+        self.gps = []
+
+    def train(self, train_x, train_y, test_x=None, test_y=None,
+              n_train=500, learning_rate=0.01, verbose=False, **kwargs):
+        """Train all per-dim GPs (gp_utils.py:328-430 semantics)."""
+        train_x = np.asarray(train_x)
+        train_y = np.asarray(train_y)
+        if self.input_mask is not None:
+            train_x = train_x[:, self.input_mask]
+        if self.target_mask is not None:
+            train_y = train_y[:, self.target_mask]
+        self.gps = []
+        losses = []
+        for d in range(train_y.shape[1]):
+            gp = GaussianProcess(train_x.shape[1], kernel=self.kernel_name)
+            losses.append(gp.train(train_x, train_y[:, d], n_train=n_train,
+                                   learning_rate=learning_rate))
+            self.gps.append(gp)
+        return losses
+
+    def predict(self, x_star, return_pred=False):
+        """Stacked mean/var over target dims (gp_utils.py:460-500)."""
+        x_star = np.atleast_2d(np.asarray(x_star))
+        if self.input_mask is not None:
+            x_star = x_star[:, self.input_mask]
+        means, variances = [], []
+        for gp in self.gps:
+            m, v = gp.predict(x_star)
+            means.append(m)
+            variances.append(v)
+        return np.stack(means, axis=-1), np.stack(variances, axis=-1)
+
+    def make_casadi_predict_func(self):
+        """Stacked pure mean function z -> residual vector
+        (casadi_predict, gp_mpc.py:502-507's dependency)."""
+        fns = [gp.make_casadi_prediction_func() for gp in self.gps]
+
+        def predict(z):
+            return jnp.stack([fn(z) for fn in fns])
+
+        return predict
+
+    def state_dict(self):
+        return [gp.state_dict() for gp in self.gps]
+
+    def load_state_dict(self, sds):
+        self.gps = []
+        for sd in sds:
+            gp = GaussianProcess(np.asarray(sd['X']).shape[1],
+                                 kernel=self.kernel_name)
+            gp.load_state_dict(sd)
+            self.gps.append(gp)
+
+
+def kmeans_centriods(n_cent, data, rand_state=0, iters: int = 50):
+    """Lloyd's k-means for inducing-point selection
+    (gp_utils.py:1224-1236)."""
+    data = jnp.asarray(data, jnp.float32)
+    key = jax.random.PRNGKey(rand_state)
+    idx = jax.random.choice(key, data.shape[0], (n_cent,), replace=False)
+    centroids = data[idx]
+
+    @jax.jit
+    def step(centroids):
+        d = jnp.sum((data[:, None, :] - centroids[None, :, :]) ** 2, -1)
+        assign = jnp.argmin(d, axis=1)
+        one_hot = jax.nn.one_hot(assign, n_cent)
+        counts = one_hot.sum(0)[:, None]
+        sums = one_hot.T @ data
+        return jnp.where(counts > 0, sums / jnp.clip(counts, 1), centroids)
+
+    for _ in range(iters):
+        centroids = step(centroids)
+    return np.asarray(centroids)

@@ -250,7 +250,8 @@ class MPC(BaseController):
         P_qp_j = self._P_qp
         big = 1e8
 
-        def build_and_solve(x_init, goal_states, X, U, z0, y0):
+        def build_and_solve(x_init, goal_states, X, U, z0, y0, tight_s,
+                            tight_u):
             # Jacobians + defects at the current guess.
             A_k = jax.vmap(jax.jacfwd(fd, argnums=0))(X[:-1], U)
             B_k = jax.vmap(jax.jacfwd(fd, argnums=1))(X[:-1], U)
@@ -269,7 +270,7 @@ class MPC(BaseController):
             if ms:
                 G_k = jax.vmap(jax.jacfwd(g_fn))(X)
                 g_val = jax.vmap(g_fn)(X)
-                b_s = jnp.einsum('kij,kj->ki', G_k, X) - g_val
+                b_s = jnp.einsum('kij,kj->ki', G_k, X) - g_val - tight_s
                 if not soft:
                     b_s = b_s - tol
                 A_mat = A_mat.at[idx_G].set(G_k.reshape(-1))
@@ -277,7 +278,7 @@ class MPC(BaseController):
             if mu:
                 H_k = jax.vmap(jax.jacfwd(h_fn))(U)
                 h_val = jax.vmap(h_fn)(U)
-                b_u = jnp.einsum('kij,kj->ki', H_k, U) - h_val
+                b_u = jnp.einsum('kij,kj->ki', H_k, U) - h_val - tight_u
                 if not soft:
                     b_u = b_u - tol
                 A_mat = A_mat.at[idx_H].set(H_k.reshape(-1))
@@ -297,11 +298,11 @@ class MPC(BaseController):
             U_new = sol.x[nX:nX + nU].reshape(T, nu)
             return X_new, U_new, sol.x, sol.y, sol.prim_res
 
-        def solve(x_init, goal_states, X0, U0, z0, y0):
+        def solve(x_init, goal_states, X0, U0, z0, y0, tight_s, tight_u):
             def body(carry, _):
                 X, U, z, y = carry
                 X, U, z, y, res = build_and_solve(x_init, goal_states, X, U,
-                                                  z, y)
+                                                  z, y, tight_s, tight_u)
                 return (X, U, z, y), res
             (X, U, z, y), res = jax.lax.scan(body, (X0, U0, z0, y0), None,
                                              length=sqp_iters)
@@ -309,6 +310,7 @@ class MPC(BaseController):
 
         self._n_z = n_z
         self._m_rows = m_rows
+        self._ms, self._mu = ms, mu
         self._solve_jit = jax.jit(solve)
 
     # ------------------------------------------------------------------
@@ -331,7 +333,9 @@ class MPC(BaseController):
             U0 = jnp.tile(jnp.asarray(self.U_EQ, jnp.float32), (T, 1))
             z0 = jnp.zeros((self._n_z,), jnp.float32)
             y0 = jnp.zeros((self._m_rows,), jnp.float32)
-        X, U, z, y, res = self._solve_jit(obs_j, goal_j, X0, U0, z0, y0)
+        tight_s, tight_u = self._constraint_tightening(step)
+        X, U, z, y, res = self._solve_jit(obs_j, goal_j, X0, U0, z0, y0,
+                                          tight_s, tight_u)
         feasible = bool(np.isfinite(float(res)) and float(res) < 1e-2)
         if feasible:
             x_val = np.asarray(X).T       # (nx, T+1) like the reference
@@ -359,6 +363,12 @@ class MPC(BaseController):
             action = action + self.lqr_gain @ (np.asarray(obs) - x_val[:, 0])
         self.prev_action = action
         return action
+
+    def _constraint_tightening(self, step):
+        """Per-step constraint bound tightening (zeros by default;
+        GP-MPC overrides with chance-constraint offsets)."""
+        return (jnp.zeros((self.T + 1, self._ms), jnp.float32),
+                jnp.zeros((self.T, self._mu), jnp.float32))
 
     def get_references(self, step):
         """Reference window over the horizon, (nx, T+1) (mpc.py:334-357)."""

@@ -1,0 +1,251 @@
+"""Robust Adversarial RL (RARL) — rebuild of controllers/rarl/rarl.py
+(463 LoC reference).
+
+Protagonist + adversary PPO agents (rarl.py:54-76); the adversary observes
+the same state, acts on the env's ``adversary_action_space``, and receives
+the NEGATED reward (rarl.py:436-441). Training alternates
+``agent_iterations`` of protagonist updates with ``adversary_iterations``
+of adversary updates (rarl.py:460-489).
+
+TPU-native: where the reference calls
+``env.env_method('set_adversary_control', ...)`` through subprocess pipes
+each step (rarl.py:366-368), here the adversary action is written directly
+into the functional EnvState (``adv_action``/``adv_valid`` fields) inside
+the jitted rollout scan — both agents act, the env consumes the adversary
+force, and both transition streams are collected in one fused scan.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from safe_control_gym_tpu.controllers.base_controller import BaseController
+from safe_control_gym_tpu.controllers.ppo.ppo_utils import (
+    PPOAgent, actor_dist, compute_returns_and_advantages, critic_value)
+from safe_control_gym_tpu.utils.logging import ExperimentLogger
+
+__all__ = ['RARL']
+
+
+class RARL(BaseController):
+    """Robust adversarial reinforcement learning with PPO agents."""
+
+    def __init__(self, env_func, training=True,
+                 checkpoint_path='model_latest.pt', output_dir='temp',
+                 use_gpu=False, seed: int = 0, **kwargs):
+        super().__init__(env_func, training=training,
+                         checkpoint_path=checkpoint_path,
+                         output_dir=output_dir, use_gpu=use_gpu, seed=seed,
+                         **kwargs)
+        self.env = env_func(seed=seed)
+        self.eval_env = env_func(seed=seed * 111 + 1)
+        assert self.env.adversary_disturbance is not None, \
+            '[ERROR] RARL requires an env with adversary_disturbance set.'
+        self.func_env = self.env.func
+        self.N = int(self.rollout_batch_size)
+        self.T = int(self.rollout_steps)
+        self.gamma = float(self.gamma)
+        agent_kw = dict(hidden_dim=self.hidden_dim,
+                        use_clipped_value=self.use_clipped_value,
+                        clip_param=self.clip_param, target_kl=self.target_kl,
+                        entropy_coef=self.entropy_coef,
+                        actor_lr=self.actor_lr, critic_lr=self.critic_lr,
+                        opt_epochs=self.opt_epochs,
+                        mini_batch_size=self.mini_batch_size,
+                        activation=getattr(self, 'activation', 'tanh'),
+                        max_grad_norm=self.max_grad_norm)
+        self.agent = PPOAgent(self.env.observation_space,
+                              self.env.action_space, seed=seed, **agent_kw)
+        self.adversary = PPOAgent(self.env.observation_space,
+                                  self.env.adversary_action_space,
+                                  seed=seed + 1, **agent_kw)
+        self.adv_scale = float(self.env.adversary_disturbance_scale)
+        self.adv_offset = float(self.env.adversary_disturbance_offset)
+        self.total_steps = 0
+        self._key = jax.random.PRNGKey(seed)
+        self.logger = ExperimentLogger(output_dir,
+                                       use_tensorboard=getattr(self, 'tensorboard', False))
+        self._env_states = None
+        self._obs = None
+        self._build_rollout()
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    # ------------------------------------------------------------------
+    def _build_rollout(self):
+        step_v = jax.vmap(self.func_env.step)
+        reset_v = jax.vmap(self.func_env.reset)
+        N, T = self.N, self.T
+        activation = self.agent.activation
+        gamma = self.gamma
+        use_gae = bool(self.use_gae)
+        gae_lambda = float(self.gae_lambda)
+        adv_scale, adv_offset = self.adv_scale, self.adv_offset
+        adv_dim = self.env.adv_action_dim
+
+        def rollout(prot_params, adv_params, env_states, obs, key,
+                    use_adversary):
+            def body(carry, _):
+                env_states, obs, key = carry
+                key, k_p, k_a, k_reset = jax.random.split(key, 4)
+                p_dist = actor_dist(prot_params, obs, activation)
+                p_act = p_dist.sample(k_p)
+                p_logp = p_dist.log_prob(p_act)
+                p_v = critic_value(prot_params, obs, activation)
+                a_dist = actor_dist(adv_params, obs, activation)
+                a_act = a_dist.sample(k_a)
+                a_logp = a_dist.log_prob(a_act)
+                a_v = critic_value(adv_params, obs, activation)
+                # Write the adversary action into the env state
+                # (set_adversary_control semantics, benchmark_env.py:216-228).
+                adv_force = (jnp.clip(a_act, -1.0, 1.0) * adv_scale
+                             + adv_offset)
+                padded = jnp.zeros((N, adv_dim)).at[:, :adv_force.shape[1]].set(adv_force)
+                env_states = env_states.replace(
+                    adv_action=padded,
+                    adv_valid=jnp.full((N,), use_adversary))
+                env_states, out = step_v(env_states, p_act)
+                mask = 1.0 - out.done.astype(jnp.float32)
+                term_pv = critic_value(prot_params, out.obs, activation)
+                term_av = critic_value(adv_params, out.obs, activation)
+                terminal_pv = jnp.where(out.truncated[:, None], term_pv, 0.0)
+                terminal_av = jnp.where(out.truncated[:, None], term_av, 0.0)
+                reset_keys = jax.random.split(k_reset, N)
+                fresh_states, fresh_obs = reset_v(reset_keys)
+                env_states = jax.tree.map(
+                    lambda f, s: jnp.where(
+                        out.done.reshape((N,) + (1,) * (s.ndim - 1)), f, s),
+                    fresh_states, env_states)
+                next_obs = jnp.where(out.done[:, None], fresh_obs, out.obs)
+                ys = (obs, p_act, a_act, out.reward[:, None], mask[:, None],
+                      p_v, a_v, p_logp, a_logp, terminal_pv, terminal_av,
+                      out.reward)
+                return (env_states, next_obs, key), ys
+
+            (env_states, obs, key), ys = jax.lax.scan(
+                body, (env_states, obs, key), None, length=T)
+            (obs_b, p_act_b, a_act_b, rew_b, mask_b, p_v_b, a_v_b, p_logp_b,
+             a_logp_b, term_pv_b, term_av_b, raw_rew) = ys
+            p_last = critic_value(prot_params, obs, activation)
+            a_last = critic_value(adv_params, obs, activation)
+            p_rets, p_advs = compute_returns_and_advantages(
+                rew_b, p_v_b, mask_b, term_pv_b, p_last, gamma, use_gae,
+                gae_lambda)
+            # Adversary reward = -reward (rarl.py:436-441).
+            a_rets, a_advs = compute_returns_and_advantages(
+                -rew_b, a_v_b, mask_b, -term_av_b, a_last, gamma, use_gae,
+                gae_lambda)
+            p_advs = (p_advs - p_advs.mean()) / (p_advs.std() + 1e-6)
+            a_advs = (a_advs - a_advs.mean()) / (a_advs.std() + 1e-6)
+            M = T * N
+            p_batch = {'obs': obs_b.reshape(M, -1),
+                       'act': p_act_b.reshape(M, -1),
+                       'logp': p_logp_b.reshape(M, -1),
+                       'adv': p_advs.reshape(M, -1),
+                       'ret': p_rets.reshape(M, -1),
+                       'v': p_v_b.reshape(M, -1)}
+            a_batch = {'obs': obs_b.reshape(M, -1),
+                       'act': a_act_b.reshape(M, -1),
+                       'logp': a_logp_b.reshape(M, -1),
+                       'adv': a_advs.reshape(M, -1),
+                       'ret': a_rets.reshape(M, -1),
+                       'v': a_v_b.reshape(M, -1)}
+            return env_states, obs, key, p_batch, a_batch, raw_rew.mean()
+
+        self._rollout_jit = jax.jit(rollout)
+
+    # ------------------------------------------------------------------
+    def reset(self):
+        keys = jax.random.split(self._next_key(), self.N)
+        self._env_states, self._obs = jax.vmap(self.func_env.reset)(keys)
+        self.setup_results_dict()
+
+    def close(self):
+        self.env.close()
+        self.eval_env.close()
+        self.logger.close()
+
+    def setup_results_dict(self):
+        self.results_dict = {'obs': [], 'reward': [], 'done': [], 'info': [],
+                             'action': []}
+
+    def select_action(self, obs, info=None):
+        return self.agent.act(jnp.asarray(obs, jnp.float32))
+
+    # ------------------------------------------------------------------
+    def learn(self, env=None, **kwargs):
+        """Alternating protagonist/adversary training (rarl.py:460-489)."""
+        if self._env_states is None:
+            self.reset()
+        max_env_steps = int(self.max_env_steps)
+        steps_per_iter = self.N * self.T
+        train_prot = bool(getattr(self, 'train_protagonist', True))
+        train_adv = bool(getattr(self, 'train_adversary', True))
+        while self.total_steps < max_env_steps:
+            # Protagonist phase.
+            for _ in range(int(self.agent_iterations)):
+                if self.total_steps >= max_env_steps:
+                    break
+                (self._env_states, self._obs, _, p_batch, a_batch,
+                 mean_rew) = self._rollout_jit(
+                    self.agent.params, self.adversary.params,
+                    self._env_states, self._obs, self._next_key(),
+                    jnp.asarray(train_adv))
+                if train_prot:
+                    self.agent.update(p_batch, self._next_key())
+                self.total_steps += steps_per_iter
+            # Adversary phase.
+            for _ in range(int(self.adversary_iterations)):
+                if self.total_steps >= max_env_steps:
+                    break
+                (self._env_states, self._obs, _, p_batch, a_batch,
+                 mean_rew) = self._rollout_jit(
+                    self.agent.params, self.adversary.params,
+                    self._env_states, self._obs, self._next_key(),
+                    jnp.asarray(True))
+                if train_adv:
+                    self.adversary.update(a_batch, self._next_key())
+                self.total_steps += steps_per_iter
+            if self.log_interval:
+                self.logger.add_scalar('rarl/mean_reward', float(mean_rew),
+                                       self.total_steps)
+                self.logger.dump_scalars()
+            self.save(self.checkpoint_path)
+
+    def run(self, env=None, n_episodes=10, **kwargs):
+        if env is None:
+            env = self.eval_env
+        returns = []
+        for _ in range(n_episodes):
+            obs, info = env.reset()
+            done, ep_ret = False, 0.0
+            while not done:
+                obs, rew, done, info = env.step(self.select_action(obs, info))
+                ep_ret += rew
+            returns.append(ep_ret)
+        return {'ep_returns': np.asarray(returns)}
+
+    # ------------------------------------------------------------------
+    def save(self, path):
+        if not path:
+            return
+        os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
+        with open(path, 'wb') as f:
+            pickle.dump({'agent': self.agent.state_dict(),
+                         'adversary': self.adversary.state_dict(),
+                         'total_steps': self.total_steps}, f)
+
+    def load(self, path):
+        with open(path, 'rb') as f:
+            state = pickle.load(f)
+        self.agent.load_state_dict(state['agent'])
+        if 'adversary' in state:
+            self.adversary.load_state_dict(state['adversary'])
+        self.total_steps = int(state.get('total_steps', 0))

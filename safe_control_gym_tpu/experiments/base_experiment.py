@@ -210,6 +210,14 @@ class RecordDataWrapper(gym.Wrapper):
         self.episode_data = defaultdict(list)
         self.clear_data()
 
+    def __getattr__(self, name):
+        # Gymnasium >=1.0 wrappers no longer forward arbitrary attributes;
+        # the reference relies on implicit forwarding (env.state,
+        # env.denormalize_action, env.X_GOAL, ...), so restore it here.
+        if name.startswith('_'):
+            raise AttributeError(name)
+        return getattr(self.env, name)
+
     def save_data(self):
         if self.episode_data:
             for key, ep_val in self.episode_data.items():

@@ -49,30 +49,79 @@ def admm_qp(P: jax.Array, q: jax.Array, A: jax.Array, l: jax.Array,
     m = A.shape[0]
     x = jnp.zeros(n) if x0 is None else x0
     y = jnp.zeros(m) if y0 is None else y0
+
+    # Ruiz equilibration (rows AND columns): badly-scaled constraint rows
+    # (RPI-ellipsoid gradients ~1e5) or cost columns (slack penalties ~1e4)
+    # destroy ADMM convergence. Iteratively normalize to unit inf-norm;
+    # primal/dual are rescaled transparently on entry/exit.
+    c = jnp.ones(n)   # column scaling (primal)
+    d = jnp.ones(m)   # row scaling (dual)
+    Ps, As = P, A
+    for _ in range(3):
+        col_norm = jnp.maximum(jnp.max(jnp.abs(Ps), axis=0),
+                               jnp.max(jnp.abs(As), axis=0))
+        dc = 1.0 / jnp.sqrt(jnp.clip(col_norm, 1e-8, None))
+        Ps = Ps * dc[None, :] * dc[:, None]
+        As = As * dc[None, :]
+        c = c * dc
+        row_norm = jnp.max(jnp.abs(As), axis=1)
+        dr = 1.0 / jnp.clip(row_norm, 1e-8, None)
+        As = As * dr[:, None]
+        d = d * dr
+    P = Ps
+    A = As
+    q = q * c
+    l = jnp.where(jnp.isfinite(l), l * d, l)
+    u = jnp.where(jnp.isfinite(u), u * d, u)
+    x = x / c
+    y = y / d
     z = jnp.clip(A @ x, l, u)
 
     eq_mask = (u - l) < 1e-9
-    rho_vec = jnp.where(eq_mask, rho * 1e3, rho)
 
-    K = P + sigma * jnp.eye(n) + (A.T * rho_vec) @ A
-    K = 0.5 * (K + K.T)
-    chol = jax.scipy.linalg.cho_factor(K)
+    # Staged ADMM with OSQP-style rho adaptation: problems whose optimal
+    # duals are large (e.g. heavy slack penalties) need rho to grow with the
+    # residual ratio, otherwise y converges at O(rho) per iteration. Each
+    # stage refactors the (small) KKT matrix with the updated rho.
+    n_stages = 10
+    stage_iters = max(iters // n_stages, 1)
 
-    def body(_, carry):
-        x, z, y = carry
-        rhs = sigma * x - q + A.T @ (rho_vec * z - y)
-        x_new = jax.scipy.linalg.cho_solve(chol, rhs)
-        Ax = A @ x_new
-        Ax_relaxed = alpha * Ax + (1 - alpha) * z
-        z_new = jnp.clip(Ax_relaxed + y / rho_vec, l, u)
-        y_new = y + rho_vec * (Ax_relaxed - z_new)
-        return x_new, z_new, y_new
+    def stage(carry, _):
+        x, z, y, rho_s = carry
+        rho_vec = jnp.where(eq_mask, rho_s * 1e3, rho_s)
+        K = P + sigma * jnp.eye(n) + (A.T * rho_vec) @ A
+        K = 0.5 * (K + K.T)
+        chol = jax.scipy.linalg.cho_factor(K)
 
-    x, z, y = jax.lax.fori_loop(0, iters, body, (x, z, y))
+        def body(_, carry):
+            x, z, y = carry
+            rhs = sigma * x - q + A.T @ (rho_vec * z - y)
+            x_new = jax.scipy.linalg.cho_solve(chol, rhs)
+            Ax = A @ x_new
+            Ax_relaxed = alpha * Ax + (1 - alpha) * z
+            z_new = jnp.clip(Ax_relaxed + y / rho_vec, l, u)
+            y_new = y + rho_vec * (Ax_relaxed - z_new)
+            return x_new, z_new, y_new
+
+        x, z, y = jax.lax.fori_loop(0, stage_iters, body, (x, z, y))
+        Ax = A @ x
+        pr = jnp.max(jnp.abs(Ax - z)) + 1e-12
+        dr = jnp.max(jnp.abs(P @ x + q + A.T @ y)) + 1e-12
+        scale = jnp.clip(jnp.sqrt(pr / dr), 0.2, 5.0)
+        rho_next = jnp.clip(rho_s * scale, 1e-4, 1e4)
+        return (x, z, y, rho_next), None
+
+    (x, z, y, _), _ = jax.lax.scan(
+        stage, (x, z, y, jnp.asarray(rho, jnp.float32)), None,
+        length=n_stages)
     Ax = A @ x
+    # Residual in the equilibrated scaling: scale-free feasibility measure
+    # (a unit-norm-row violation of eps means eps relative error regardless
+    # of the original row magnitudes).
     prim_res = jnp.max(jnp.abs(Ax - jnp.clip(Ax, l, u)))
     dual_res = jnp.max(jnp.abs(P @ x + q + A.T @ y))
-    return QPSolution(x=x, z=z, y=y, prim_res=prim_res, dual_res=dual_res)
+    return QPSolution(x=x * c, z=z, y=y * d, prim_res=prim_res,
+                      dual_res=dual_res)
 
 
 def make_qp_solver(iters: int = 200, rho: float = 0.1, sigma: float = 1e-6,

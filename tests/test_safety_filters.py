@@ -1,0 +1,110 @@
+"""Safety filter tests: MPSC + CBF + CBF-NN on cartpole."""
+
+from functools import partial
+
+import numpy as np
+import pytest
+
+from safe_control_gym_tpu.experiments.base_experiment import BaseExperiment
+from safe_control_gym_tpu.utils.registration import make
+
+CONSTRAINED_CARTPOLE = dict(
+    seed=42, cost='quadratic', ctrl_freq=15, pyb_freq=750, episode_len_sec=6,
+    randomized_init=False, init_state={'init_theta': 0.1},
+    task_info={'stabilization_goal': [0.0],
+               'stabilization_goal_tolerance': 0.005},
+    constraints=[
+        {'constraint_form': 'default_constraint',
+         'constrained_variable': 'state',
+         'upper_bounds': [1.5, 2, 0.3, 2], 'lower_bounds': [-1.5, -2, -0.3, -2]},
+        {'constraint_form': 'default_constraint',
+         'constrained_variable': 'input',
+         'upper_bounds': [5], 'lower_bounds': [-5]}])
+
+
+@pytest.fixture(scope='module')
+def mpsc_filter():
+    env_func = partial(make, 'cartpole', **CONSTRAINED_CARTPOLE)
+    sf = make('linear_mpsc', env_func, horizon=10, q_lin=[1], r_lin=[1],
+              integration_algo='rk4', n_samples=120, tau=0.95, seed=0)
+    sf.learn()
+    return sf
+
+
+def test_mpsc_certifies_and_runs_closed_loop(mpsc_filter):
+    sf = mpsc_filter
+    obs = np.array([0.0, 0.0, 0.05, 0.0], np.float32)
+    sf.reset_before_run()
+    cert, success = sf.certify_action(obs, np.array([0.1]), None)
+    assert success
+    # Benign action passes (near) unchanged.
+    assert abs(float(np.squeeze(cert)) - 0.1) < 0.2
+    # Closed loop with LQR stays violation-free.
+    env_func = partial(make, 'cartpole', **CONSTRAINED_CARTPOLE)
+    ctrl = make('lqr', env_func, q_lqr=[1], r_lqr=[0.1])
+    exp = BaseExperiment(env_func(), ctrl, safety_filter=sf)
+    data, m = exp.run_evaluation(n_episodes=1, verbose=False)
+    assert m['average_constraint_violation'] == 0
+    assert 'safety_filter_data' in data
+    exp.close()
+
+
+def test_mpsc_save_load(mpsc_filter, tmp_path):
+    sf = mpsc_filter
+    path = str(tmp_path / 'mpsc.pkl')
+    sf.save(path)
+    env_func = partial(make, 'cartpole', **CONSTRAINED_CARTPOLE)
+    sf2 = make('linear_mpsc', env_func, horizon=10, q_lin=[1], r_lin=[1],
+               integration_algo='rk4', n_samples=120, tau=0.95, seed=1)
+    sf2.load(path)
+    assert np.allclose(sf2.P, sf.P)
+    obs = np.array([0.0, 0.0, 0.05, 0.0], np.float32)
+    cert, success = sf2.certify_action(obs, np.array([0.1]), None)
+    assert success
+    sf2.close()
+
+
+@pytest.fixture(scope='module')
+def cbf_filter():
+    env_func = partial(make, 'cartpole', seed=42, randomized_init=False,
+                       constraints=CONSTRAINED_CARTPOLE['constraints'])
+    return make('cbf', env_func, slope=0.1, seed=0)
+
+
+def test_cbf_passthrough_when_safe(cbf_filter):
+    c, s = cbf_filter.certify_action(np.zeros(4, np.float32),
+                                     np.array([1.0]))
+    assert s
+    assert abs(float(np.squeeze(c)) - 1.0) < 1e-3
+
+
+def test_cbf_saturates_and_flags_unsafe(cbf_filter):
+    # State outside the superlevel set + demand beyond bounds: u clamps to
+    # the input limit (exactly) and the filter reports failure.
+    c, s = cbf_filter.certify_action(np.array([0, 0, 0.28, 1.0], np.float32),
+                                     np.array([8.0]))
+    assert not s
+    assert abs(float(np.squeeze(c)) - 5.0) < 1e-2  # env bound is 5 here
+
+
+def test_cbf_corrects_toward_safety(cbf_filter):
+    # Inside the set but pushing outward: certified action differs from
+    # uncertified in the stabilizing direction.
+    state = np.array([0.0, 0.0, 0.25, 0.5], np.float32)
+    c, s = cbf_filter.certify_action(state, np.array([-3.0]))
+    corr = cbf_filter.results_dict['correction'][-1]
+    assert corr > 0.0
+
+
+def test_cbf_nn_learns_residual():
+    env_func = partial(make, 'cartpole', seed=42, randomized_init=False,
+                       constraints=CONSTRAINED_CARTPOLE['constraints'])
+    ctrl = make('lqr', env_func, q_lqr=[1], r_lqr=[0.1])
+    sfnn = make('cbf_nn', env_func, num_episodes=2, max_num_steps=40,
+                train_iterations=10, uncertified_controller=ctrl, seed=0)
+    sfnn.learn()
+    # Buffer received data and the filter still certifies.
+    assert int(sfnn.buffer.state.count) > 0
+    c, s = sfnn.certify_action(np.zeros(4, np.float32), np.array([0.5]))
+    assert s
+    sfnn.close()
