@@ -1,0 +1,67 @@
+"""MPC / Linear MPC / acados-style MPC example — parity with
+examples/mpc/mpc_experiment.py."""
+
+import os
+import pickle
+from collections import defaultdict
+from functools import partial
+
+import numpy as np
+
+from safe_control_gym_tpu.experiments.base_experiment import BaseExperiment
+from safe_control_gym_tpu.utils.configuration import ConfigFactory
+from safe_control_gym_tpu.utils.registration import make
+
+
+def run(gui=False, plot=False, n_episodes=1, n_steps=None, save_data=False):
+    """Main MPC experiment (reference mpc_experiment.py)."""
+    CONFIG_FACTORY = ConfigFactory()
+    config = CONFIG_FACTORY.merge()
+
+    env_func = partial(make, config.task, **config.task_config)
+    random_env = env_func(gui=False)
+    ctrl = make(config.algo, env_func, **config.algo_config)
+
+    all_trajs = defaultdict(list)
+    n_episodes = 1 if n_episodes is None else n_episodes
+
+    for _ in range(n_episodes):
+        init_state, _ = random_env.reset()
+        init_state = np.asarray(init_state)[:random_env.state_dim]
+        static_env = env_func(gui=gui, randomized_init=False,
+                              init_state=init_state)
+        static_train_env = env_func(gui=False, randomized_init=False,
+                                    init_state=init_state)
+        experiment = BaseExperiment(env=static_env, ctrl=ctrl,
+                                    train_env=static_train_env)
+        experiment.launch_training()
+        if n_steps is None:
+            trajs_data, _ = experiment.run_evaluation(training=True,
+                                                      n_episodes=1)
+        else:
+            trajs_data, _ = experiment.run_evaluation(training=True,
+                                                      n_steps=n_steps)
+        static_env.close()
+        static_train_env.close()
+        for key, value in trajs_data.items():
+            all_trajs[key] += value
+
+    ctrl.close()
+    random_env.close()
+    metrics = experiment.compute_metrics(all_trajs)
+    all_trajs = dict(all_trajs)
+
+    if save_data:
+        results = {'trajs_data': all_trajs, 'metrics': metrics}
+        os.makedirs('./temp-data', exist_ok=True)
+        with open(f'./temp-data/{config.algo}_data_{config.task}.pkl',
+                  'wb') as file:
+            pickle.dump(results, file)
+
+    print('FINAL METRICS - ' + ', '.join(
+        [f'{key}: {value}' for key, value in metrics.items()]))
+    return all_trajs, metrics
+
+
+if __name__ == '__main__':
+    run()

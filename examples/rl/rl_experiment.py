@@ -1,0 +1,47 @@
+"""RL evaluation example — parity with examples/rl/rl_experiment.py:
+loads a trained policy checkpoint and evaluates it (the reference loads
+committed pretrained .pt models, rl_experiment.py:46-60; here checkpoints
+are produced by train_rl.py / experiments/train_rl_controller.py)."""
+
+import os
+from functools import partial
+
+import numpy as np
+
+from safe_control_gym_tpu.experiments.base_experiment import BaseExperiment
+from safe_control_gym_tpu.utils.configuration import ConfigFactory
+from safe_control_gym_tpu.utils.registration import make
+
+
+def run(gui=False, plot=False, n_episodes=1, n_steps=None,
+        curr_path='.', save_data=False):
+    """Main RL eval experiment (reference rl_experiment.py:17-100)."""
+    CONFIG_FACTORY = ConfigFactory()
+    config = CONFIG_FACTORY.merge()
+
+    task_config = dict(config.task_config)
+    env_func = partial(make, config.task, **task_config)
+    ctrl = make(config.algo, env_func,
+                training=False,
+                **config.algo_config)
+
+    # Load model if a checkpoint exists (reference loads
+    # examples/rl/models/<algo>/model_latest.pt).
+    model_path = os.path.join(curr_path, 'models', config.algo,
+                              f'model_latest_{config.task}.pt')
+    if os.path.exists(model_path):
+        ctrl.load(model_path)
+    env = env_func(gui=gui)
+    experiment = BaseExperiment(env=env, ctrl=ctrl)
+    if n_steps is None:
+        trajs_data, metrics = experiment.run_evaluation(n_episodes=n_episodes)
+    else:
+        trajs_data, metrics = experiment.run_evaluation(n_steps=n_steps)
+    experiment.close()
+    print('FINAL METRICS - ' + ', '.join(
+        [f'{key}: {value}' for key, value in metrics.items()]))
+    return dict(trajs_data), metrics
+
+
+if __name__ == '__main__':
+    run()

