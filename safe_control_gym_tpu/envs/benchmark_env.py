@@ -664,6 +664,27 @@ class BenchmarkEnv(gym.Env):
     def close(self):
         pass
 
+    def render(self, mode='rgb_array'):
+        """Rasterize the current state to an RGB frame.
+
+        The reference renders via the PyBullet camera (cartpole.py:376-383,
+        base_aviary.py:333-347); here a light matplotlib rasterization of
+        the analytic state serves the same debugging/video role headlessly.
+        """
+        import matplotlib
+        matplotlib.use('Agg')
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots(figsize=(4, 3), dpi=80)
+        self._draw_state(ax)
+        ax.set_aspect('equal')
+        fig.canvas.draw()
+        frame = np.asarray(fig.canvas.buffer_rgba())[:, :, :3].copy()
+        plt.close(fig)
+        return frame
+
+    def _draw_state(self, ax):
+        ax.text(0.5, 0.5, str(np.round(self.state, 2)), ha='center')
+
     # Properties for parity.
     @property
     def state_dim(self):

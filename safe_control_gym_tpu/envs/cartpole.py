@@ -341,6 +341,19 @@ class CartPole(BenchmarkEnv):
             jnp.abs(state[0]) > self.x_threshold,
             jnp.abs(state[2]) > self.theta_threshold_radians)
 
+    def _draw_state(self, ax):
+        """Draw cart + pole for render() frames."""
+        from matplotlib.patches import Rectangle
+        x, _, theta, _ = np.asarray(self.state)
+        L = 2 * float(self.EFFECTIVE_POLE_LENGTH)
+        ax.plot([-2.5, 2.5], [0, 0], 'k-', lw=1)
+        ax.add_patch(Rectangle((x - 0.15, -0.05), 0.3, 0.1,
+                               color='tab:blue'))
+        ax.plot([x, x + L * np.sin(theta)], [0.05, 0.05 + L * np.cos(theta)],
+                'r-', lw=3)
+        ax.set_xlim(-2.6, 2.6)
+        ax.set_ylim(-0.5, 1.5)
+
     def _mse_pure(self, state, step):
         """Weighted MSE info (cartpole.py:674-696)."""
         X_GOAL = jnp.asarray(np.atleast_2d(self.X_GOAL), jnp.float32)

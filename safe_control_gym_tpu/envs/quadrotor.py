@@ -641,6 +641,28 @@ class Quadrotor(BenchmarkEnv):
         oob = jnp.logical_or(state < lo, state > hi)
         return jnp.any(oob * jnp.asarray(mask, jnp.float32) > 0)
 
+    def _draw_state(self, ax):
+        """Draw the quadrotor (xz plane projection) for render() frames."""
+        s = np.asarray(self.state)
+        if self.QUAD_TYPE == QuadType.ONE_D:
+            x, z, th = 0.0, s[0], 0.0
+        elif self.QUAD_TYPE == QuadType.TWO_D:
+            x, z, th = s[0], s[2], s[4]
+        else:
+            x, z, th = s[0], s[4], s[7]
+        arm = 0.12
+        dx, dz = arm * np.cos(th), arm * np.sin(th)
+        ax.plot([x - dx, x + dx], [z + dz, z - dz], 'k-', lw=3)
+        ax.plot([x], [z], 'ro', ms=4)
+        if self.TASK == Task.TRAJ_TRACKING and np.ndim(self.X_GOAL) == 2:
+            xi = 0 if self.QUAD_TYPE != QuadType.ONE_D else None
+            if self.QUAD_TYPE == QuadType.TWO_D:
+                ax.plot(self.X_GOAL[:, 0], self.X_GOAL[:, 2], 'g--', lw=0.7)
+            elif self.QUAD_TYPE == QuadType.THREE_D:
+                ax.plot(self.X_GOAL[:, 0], self.X_GOAL[:, 4], 'g--', lw=0.7)
+        ax.set_xlim(-2.2, 2.2)
+        ax.set_ylim(-0.2, 2.2)
+
     def _mse_pure(self, state, step):
         """Weighted MSE with wrapped angles in tracking (quadrotor.py:895-923)."""
         X_GOAL = jnp.asarray(np.atleast_2d(self.X_GOAL), jnp.float32)

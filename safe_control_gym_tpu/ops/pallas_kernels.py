@@ -1,0 +1,117 @@
+"""Pallas TPU kernels for the simulation hot loop.
+
+The batched env step is launch-bound at high env counts: each of the
+``pyb_steps_per_ctrl`` physics substeps inside the ``lax.scan`` becomes at
+least one XLA kernel launch over tiny (B, 4) tensors. This module fuses ALL
+substeps of a control step into ONE Pallas kernel: the state lives in VMEM
+registers for the whole inner loop, eliminating per-substep HBM round trips
+and launch overhead.
+
+Layout: the batch is the LANE dimension. State/action rows are stacked into
+an (8, B) f32 block — row 0..3 = [x, x_dot, theta, theta_dot], row 4 = force,
+rows 5..6 = tab-force disturbance (fx, fz), row 7 = padding to the f32
+sublane tile (8, 128). The kernel computes the same forced cartpole dynamics
+as :func:`safe_control_gym_tpu.envs.dynamics.cartpole_dynamics_forced`
+with semi-implicit Euler, unrolled ``n_substeps`` times on the VPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ['cartpole_advance_pallas']
+
+
+def _cartpole_kernel(params_ref, in_ref, out_ref, *, n_substeps, dt):
+    """One fused control step: n_substeps semi-implicit-Euler updates."""
+    m = params_ref[0, 0]       # pole mass
+    M = params_ref[0, 1]       # cart mass
+    L = params_ref[0, 2]       # effective (half) pole length
+    g = params_ref[0, 3]       # gravity
+    Mm = m + M
+    ml = m * L
+
+    x = in_ref[0, :]
+    xd = in_ref[1, :]
+    th = in_ref[2, :]
+    thd = in_ref[3, :]
+    force = in_ref[4, :]
+    fx = in_ref[5, :]
+    fz = in_ref[6, :]
+
+    a11 = Mm
+    a22 = (4.0 / 3.0) * m * L * L
+
+    for _ in range(n_substeps):
+        sin_t = jnp.sin(th)
+        cos_t = jnp.cos(th)
+        a12 = ml * cos_t
+        b1 = force + fx + ml * thd * thd * sin_t
+        b2 = m * g * L * sin_t + fx * L * cos_t - fz * L * sin_t
+        det = a11 * a22 - a12 * a12
+        x_dd = (a22 * b1 - a12 * b2) / det
+        th_dd = (a11 * b2 - a12 * b1) / det
+        # Semi-implicit Euler (PyBullet's scheme): velocities first.
+        xd = xd + dt * x_dd
+        thd = thd + dt * th_dd
+        x = x + dt * xd
+        th = th + dt * thd
+
+    out_ref[0, :] = x
+    out_ref[1, :] = xd
+    out_ref[2, :] = th
+    out_ref[3, :] = thd
+    out_ref[4, :] = force
+    out_ref[5, :] = fx
+    out_ref[6, :] = fz
+    out_ref[7, :] = in_ref[7, :]
+
+
+@functools.partial(jax.jit, static_argnames=('n_substeps', 'dt', 'block_b'))
+def cartpole_advance_pallas(states, forces, tab_forces, params,
+                            n_substeps: int, dt: float,
+                            block_b: int = 1024):
+    """Advance a batch of cartpole states by one control step.
+
+    Args:
+        states: (B, 4) f32 [x, x_dot, theta, theta_dot].
+        forces: (B,) f32 applied cart forces (already clipped).
+        tab_forces: (B, 2) f32 pole-COM disturbance forces (fx, fz).
+        params: (4,) f32 [pole_mass, cart_mass, pole_length, gravity]
+            (shared across the batch).
+        n_substeps / dt: inner physics steps and their timestep.
+
+    Returns:
+        (B, 4) f32 new states.
+    """
+    B = states.shape[0]
+    pad = (-B) % block_b
+    Bp = B + pad
+    # Stack into the (8, Bp) lane-major block.
+    stacked = jnp.zeros((8, Bp), jnp.float32)
+    stacked = stacked.at[0:4, :B].set(states.T)
+    stacked = stacked.at[4, :B].set(forces)
+    stacked = stacked.at[5:7, :B].set(tab_forces.T)
+    params2d = params.reshape(1, 4).astype(jnp.float32)
+
+    grid = (Bp // block_b,)
+    out = pl.pallas_call(
+        functools.partial(_cartpole_kernel, n_substeps=n_substeps, dt=dt),
+        out_shape=jax.ShapeDtypeStruct((8, Bp), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, block_b), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, block_b), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+    )(params2d, stacked)
+    return out[0:4, :B].T

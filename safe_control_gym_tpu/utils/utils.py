@@ -190,6 +190,26 @@ def set_dir_from_config(config) -> None:
         f.write(' '.join(sys.argv) + '\n')
 
 
+def save_video(name: str, frames, fps: int = 20) -> None:
+    """Save a sequence of HxWx3 uint8 frames (reference utils.py:136-165).
+
+    Uses imageio if available, else falls back to a matplotlib PNG strip.
+    """
+    assert name.endswith('.gif') or name.endswith('.mp4'), \
+        'Video name must end in .gif or .mp4.'
+    try:
+        import imageio
+        imageio.mimsave(name, frames, fps=fps)
+    except ImportError:
+        import matplotlib
+        matplotlib.use('Agg')
+        import matplotlib.pyplot as plt
+        base = os.path.splitext(name)[0]
+        for i, frame in enumerate(frames[:: max(1, len(frames) // 16)]):
+            plt.imsave(f'{base}_{i:03d}.png', frame)
+        print(f'[WARNING] imageio unavailable; dumped frames to {base}_*.png')
+
+
 def unwrap_wrapper(env, wrapper_class):
     """Retrieve a wrapper instance from a possibly wrapped env
     (reference utils.py:168-182)."""
