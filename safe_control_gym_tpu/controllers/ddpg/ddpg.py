@@ -201,21 +201,24 @@ class DDPG(BaseController):
                 for k, v in results.items():
                     self.logger.add_scalar(f'ddpg/{k}', v, self.total_steps)
                 self.logger.dump_scalars()
-            self.save(self.checkpoint_path)
+        self.save(self.checkpoint_path)
 
-    def run(self, env=None, n_episodes=10, **kwargs):
-        if env is None:
-            env = self.eval_env
+    def _make_eval_rollout(self, env, n_episodes):
+        """Build (and cache) the jitted batched deterministic eval."""
+        cache_key = (id(env), n_episodes)
+        cached = getattr(self, '_eval_cache', None)
+        if cached is not None and cached[0] == cache_key:
+            return cached[1]
         func = env.func
         max_steps = func.max_steps + 1
-        actor_params = self.agent.params['actor']
         act_low, act_high = self.agent.act_low, self.agent.act_high
         activation = self.agent.activation
         step_v = jax.vmap(func.step)
+        reset_v = jax.vmap(func.reset)
 
         @jax.jit
-        def eval_rollout(keys):
-            states, obs = jax.vmap(func.reset)(keys)
+        def eval_rollout(actor_params, keys):
+            states, obs = reset_v(keys)
             alive0 = jnp.ones((n_episodes,), bool)
 
             def body(carry, _):
@@ -232,8 +235,17 @@ class DDPG(BaseController):
                                               None, length=max_steps)
             return rews.sum(0), lengths.sum(0)
 
+        self._eval_cache = (cache_key, eval_rollout)
+        return eval_rollout
+
+
+    def run(self, env=None, n_episodes=10, **kwargs):
+        if env is None:
+            env = self.eval_env
+        eval_rollout = self._make_eval_rollout(env, n_episodes)
         keys = jax.random.split(self._next_key(), n_episodes)
-        ep_returns, ep_lengths = eval_rollout(keys)
+        ep_returns, ep_lengths = eval_rollout(self.agent.params['actor'],
+                                              keys)
         return {'ep_returns': np.asarray(ep_returns),
                 'ep_lengths': np.asarray(ep_lengths)}
 

@@ -240,26 +240,26 @@ class PPO(BaseController):
                 if self.eval_save_best and results['eval_return'] > best_eval_return:
                     best_eval_return = results['eval_return']
                     self.save(os.path.join(self.output_dir, 'model_best.pt'))
-            self.save(self.checkpoint_path)
+        self.save(self.checkpoint_path)
         return
 
-    def run(self, env=None, render=False, n_episodes=10, verbose=False,
-            **kwargs):
-        """Deterministic evaluation (ppo.py:193-257 analog): n_episodes
-        batched functional envs scanned to completion on device."""
-        if env is None:
-            env = self.eval_env
+    def _make_eval_rollout(self, env, n_episodes):
+        """Build (and cache) the jitted batched deterministic eval."""
+        cache_key = (id(env), n_episodes, bool(self.norm_obs))
+        cached = getattr(self, '_eval_cache', None)
+        if cached is not None and cached[0] == cache_key:
+            return cached[1]
         func = env.func
         max_steps = func.max_steps + 1
-        params = self.agent.params
         norm_obs = self.norm_obs
         clip_obs = float(self.clip_obs)
-        obs_norm = self.obs_norm_state
         activation = self.agent.activation
+        step_v = jax.vmap(func.step)
+        reset_v = jax.vmap(func.reset)
 
         @jax.jit
-        def eval_rollout(keys):
-            states, obs = jax.vmap(func.reset)(keys)
+        def eval_rollout(params, obs_norm, keys):
+            states, obs = reset_v(keys)
             alive0 = jnp.ones((n_episodes,), bool)
 
             def body(carry, _):
@@ -274,14 +274,26 @@ class PPO(BaseController):
                 alive = jnp.logical_and(alive, jnp.logical_not(out.done))
                 return (states, out.obs, alive), (rew, length, mse)
 
-            step_v = jax.vmap(func.step)
             (_, _, _), (rews, lengths, mses) = jax.lax.scan(
                 body, (states, obs, alive0), None, length=max_steps)
             return rews.sum(0), lengths.sum(0), mses.sum(0) / jnp.maximum(
                 lengths.sum(0), 1.0)
 
+        self._eval_cache = (cache_key, eval_rollout)
+        return eval_rollout
+
+    def run(self, env=None, render=False, n_episodes=10, verbose=False,
+            **kwargs):
+        """Deterministic evaluation (ppo.py:193-257 analog): n_episodes
+        batched functional envs scanned to completion on device."""
+        if env is None:
+            env = self.eval_env
+        eval_rollout = self._make_eval_rollout(env, n_episodes)
+        obs_norm = (self.obs_norm_state if self.obs_norm_state is not None
+                    else rms_init((self.env.observation_space.shape[0],)))
         keys = jax.random.split(self._next_key(), n_episodes)
-        ep_returns, ep_lengths, ep_mse = eval_rollout(keys)
+        ep_returns, ep_lengths, ep_mse = eval_rollout(self.agent.params,
+                                                      obs_norm, keys)
         return {'ep_returns': np.asarray(ep_returns),
                 'ep_lengths': np.asarray(ep_lengths),
                 'ep_mse': np.asarray(ep_mse)}

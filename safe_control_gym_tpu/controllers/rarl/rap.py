@@ -179,7 +179,7 @@ class RAP(RARL):
                 self.logger.add_scalar('rap/mean_reward', float(mean_rew),
                                        self.total_steps)
                 self.logger.dump_scalars()
-            self.save(self.checkpoint_path)
+        self.save(self.checkpoint_path)
 
     def save(self, path):
         if not path:

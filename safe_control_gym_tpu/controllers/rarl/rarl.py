@@ -217,7 +217,8 @@ class RARL(BaseController):
                 self.logger.add_scalar('rarl/mean_reward', float(mean_rew),
                                        self.total_steps)
                 self.logger.dump_scalars()
-            self.save(self.checkpoint_path)
+
+        self.save(self.checkpoint_path)
 
     def run(self, env=None, n_episodes=10, **kwargs):
         if env is None:

@@ -237,7 +237,7 @@ class SafeExplorerPPO(BaseController):
                 for k, v in results.items():
                     self.logger.add_scalar(f'safe_ppo/{k}', v, self.total_steps)
                 self.logger.dump_scalars()
-            self.save(self.checkpoint_path)
+        self.save(self.checkpoint_path)
 
     def pretrain_safety_layer(self):
         """Collect random transitions + regress constraint models
@@ -261,6 +261,7 @@ class SafeExplorerPPO(BaseController):
                 self.safety_layer.update(batch)
 
     # ------------------------------------------------------------------
+
     def run(self, env=None, n_episodes=10, **kwargs):
         if env is None:
             env = self.eval_env
