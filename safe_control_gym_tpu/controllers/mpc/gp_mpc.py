@@ -155,8 +155,14 @@ class GPMPC(LinearMPC):
 
     def set_gp_dynamics_func(self):
         """Compose prior linear dynamics with the GP residual mean
-        (set_gp_dynamics_func, gp_mpc.py:210-262)."""
-        gp_mean = self.gaussian_process.make_casadi_predict_func()
+        (set_gp_dynamics_func, gp_mpc.py:210-262). With ``sparse_gp`` the
+        FITC approximation over kmeans inducing points replaces the exact
+        posterior (gp_mpc.py:383-432)."""
+        if self.sparse_gp:
+            gp_mean, self.z_ind = self.gaussian_process.make_fitc_predict_func(
+                self.n_ind_points, rand_state=self.seed)
+        else:
+            gp_mean = self.gaussian_process.make_casadi_predict_func()
         Ad = jnp.asarray(self.Ad, jnp.float32)
         Bd = jnp.asarray(self.Bd, jnp.float32)
         X_EQ = jnp.asarray(self.X_EQ, jnp.float32)

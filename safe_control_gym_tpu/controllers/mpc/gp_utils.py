@@ -146,6 +146,44 @@ class GaussianProcess:
         fn = self.make_casadi_prediction_func()
         return np.asarray(jax.jacfwd(fn)(jnp.asarray(z, jnp.float32)))
 
+    def make_fitc_prediction_func(self, z_ind):
+        """FITC sparse posterior mean with inducing points ``z_ind``
+        (sparse machinery role of gp_mpc.py:383-432): prediction cost drops
+        from O(N) to O(M) kernel evaluations per query.
+
+        mean(z*) = K(z*, Z) Sigma Kzx Lambda^-1 y,
+        Sigma = (Kzz + Kzx Lambda^-1 Kxz)^-1,
+        Lambda = diag(Kxx - Qxx) + sigma^2 I.
+        """
+        Z = jnp.asarray(z_ind, jnp.float32)
+        ls = jnp.exp(self.params['log_lengthscales'])
+        sv = jnp.exp(self.params['log_signal_var'])
+        nv = jnp.exp(self.params['log_noise_var'])
+        kernel_fn = self.kernel_fn
+        # Long-lengthscale kernels make Kzz nearly rank-deficient in f32;
+        # use eigendecomposition-based clipped inverses instead of Cholesky.
+        def psd_solve(M, B, eps):
+            evals, evecs = jnp.linalg.eigh(M)
+            inv = jnp.where(evals > eps, 1.0 / jnp.clip(evals, eps), 0.0)
+            return (evecs * inv) @ (evecs.T @ B)
+
+        eps = 1e-5 * sv
+        Kzz = kernel_fn(Z, Z, ls, sv)
+        Kzx = kernel_fn(Z, self.X, ls, sv)
+        V = psd_solve(Kzz, Kzx, eps)                    # Kzz^+ Kzx
+        Qxx_diag = jnp.sum(Kzx * V, axis=0)
+        # FITC diag correction; clip for numerical safety (Qxx can exceed
+        # the prior variance by rounding).
+        lam = jnp.clip(sv - Qxx_diag, 0.0, None) + nv + 1e-6
+        A = Kzz + (Kzx / lam[None, :]) @ Kzx.T
+        w = psd_solve(A, (Kzx / lam[None, :]) @ self.Y, eps)
+
+        def mean_fn(z):
+            k = kernel_fn(jnp.atleast_2d(z), Z, ls, sv)
+            return (k @ w)[0]
+
+        return mean_fn
+
     def state_dict(self):
         return {'params': jax.tree.map(np.asarray, self.params),
                 'X': np.asarray(self.X), 'Y': np.asarray(self.Y)}
@@ -209,6 +247,19 @@ class GaussianProcessCollection:
             return jnp.stack([fn(z) for fn in fns])
 
         return predict
+
+    def make_fitc_predict_func(self, n_ind_points, rand_state=0):
+        """Stacked FITC mean function with shared kmeans inducing points
+        (precompute_sparse_gp_values, gp_mpc.py:383-432)."""
+        X = np.asarray(self.gps[0].X)
+        z_ind = kmeans_centriods(min(n_ind_points, X.shape[0]), X,
+                                 rand_state=rand_state)
+        fns = [gp.make_fitc_prediction_func(z_ind) for gp in self.gps]
+
+        def predict(z):
+            return jnp.stack([fn(z) for fn in fns])
+
+        return predict, z_ind
 
     def state_dict(self):
         return [gp.state_dict() for gp in self.gps]

@@ -199,6 +199,34 @@ class DisturbanceList:
         return out
 
 
+class BrownianNoise(DisturbanceSpec):
+    """Random-walk noise (stub in the reference, disturbances.py:226-231;
+    implemented here as an integrated white-noise state)."""
+
+    def __init__(self, dim, mask=None, std=1.0, **kwargs):
+        super().__init__(dim, mask)
+        self.std = _as_vec(std, dim, 'std')
+        self.state_size = dim
+
+    def init(self, key):
+        return jnp.zeros((self.dim,), jnp.float32)
+
+    def apply(self, target, dstate, ctrl_step, t, key):
+        # NOTE: the walk state would need to live in dstate to accumulate
+        # across steps; as in the reference this type is not wired into
+        # DISTURBANCE_TYPES and serves as an extension point.
+        walk = dstate + jax.random.normal(key, (self.dim,)) * jnp.asarray(self.std)
+        return target + self._masked(walk)
+
+
+class StateDependentDisturbance(DisturbanceSpec):
+    """Time/state-varying disturbance, e.g. friction — extension-point stub
+    (disturbances.py:262-274 parity)."""
+
+    def __init__(self, dim, mask=None, **kwargs):
+        super().__init__(dim, mask)
+
+
 DISTURBANCE_TYPES = {
     'impulse': ImpulseDisturbance,
     'step': StepDisturbance,

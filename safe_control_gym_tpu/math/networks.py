@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ['mlp_init', 'mlp_apply', 'ACTIVATIONS', 'rnn_init', 'rnn_apply']
+__all__ = ['mlp_init', 'mlp_apply', 'cnn_init', 'cnn_apply', 'ACTIVATIONS',
+           'rnn_init', 'rnn_apply']
 
 ACTIVATIONS = {
     'tanh': jnp.tanh,
@@ -72,6 +73,43 @@ def mlp_apply(params, x, activation: str = 'tanh', out_activation: str = 'identi
     last = params[-1]
     return out_act(jnp.dot(h, last['w'], preferred_element_type=jnp.float32)
                    + last['b'])
+
+
+def cnn_init(key, input_hwc, out_dim: int,
+             channels=(32, 64), kernel_sizes=(8, 4), strides=(4, 2),
+             dtype=jnp.float32):
+    """Conv stack + dense head (CNN parity, neural_networks.py:57-84).
+
+    ``input_hwc``: (H, W, C) of the input images — the flatten dim of the
+    dense head is derived from it at init time.
+    """
+    H, W, c_in = input_hwc
+    params = []
+    keys = jax.random.split(key, len(channels) + 1)
+    for k, c_out, ks, st in zip(keys[:-1], channels, kernel_sizes, strides):
+        fan_in = c_in * ks * ks
+        bound = 1.0 / np.sqrt(fan_in)
+        w = jax.random.uniform(k, (ks, ks, c_in, c_out), minval=-bound,
+                               maxval=bound, dtype=dtype)
+        params.append({'w': w, 'b': jnp.zeros(c_out, dtype=dtype)})
+        c_in = c_out
+        H = (H - ks) // st + 1
+        W = (W - ks) // st + 1
+    head = mlp_init(keys[-1], H * W * c_in, out_dim, [], orthogonal=False)
+    return {'convs': params, 'head': head, 'strides': tuple(strides)}
+
+
+def cnn_apply(params, x, activation: str = 'relu'):
+    """Forward an NHWC image batch through convs + dense head."""
+    act = ACTIVATIONS[activation]
+    h = x
+    for conv, stride in zip(params['convs'], params['strides']):
+        h = jax.lax.conv_general_dilated(
+            h, conv['w'], window_strides=(stride, stride), padding='VALID',
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        h = act(h + conv['b'])
+    h = h.reshape(h.shape[0], -1)
+    return mlp_apply(params['head'], h, activation='identity')
 
 
 def rnn_init(key, in_dim: int, hidden_dim: int, dtype=jnp.float32):
