@@ -17,6 +17,13 @@ import json
 import time
 
 import jax
+
+# Hardware RNG (RBG) instead of threefry: the env step derives multiple
+# PRNG streams per transition and threefry bit-generation was ~1/3 of the
+# step cost on v5e (measured: 13.4M -> 19.6M steps/s). Deterministic per
+# seed on a given backend, which is all the benchmark needs.
+jax.config.update('jax_default_prng_impl', 'rbg')
+
 import jax.numpy as jnp
 import numpy as np
 
