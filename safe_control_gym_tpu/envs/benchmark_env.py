@@ -447,13 +447,6 @@ class BenchmarkEnv(gym.Env):
             obs = self._observe(est, x0, k_obs, at_reset=True)
             return est, obs
 
-        def _apply_obs_noise(est, x, key):
-            obs = self._obs_transform_pure(x, key)
-            if dist_obs:
-                t = est.ctrl_step.astype(jnp.float32) * self.CTRL_TIMESTEP
-                obs = dist_obs.apply(obs, est.dist_obs, est.ctrl_step, t, key)
-            return obs
-
         def step_fn(est: EnvState, action):
             key, k_act, k_dyn, k_obs = jax.random.split(est.key, 4)
             raw = jnp.atleast_1d(jnp.squeeze(jnp.asarray(action, dtype=jnp.float32)))
@@ -533,7 +526,6 @@ class BenchmarkEnv(gym.Env):
             )
             return est_new, out
 
-        self._apply_obs_noise = _apply_obs_noise
         self.func = FuncEnv(reset_fn, step_fn,
                             obs_dim=int(np.prod(self.observation_space.shape)),
                             act_dim=act_dim, state_dim=state_dim,
