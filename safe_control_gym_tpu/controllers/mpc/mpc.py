@@ -316,6 +316,8 @@ class MPC(BaseController):
     # ------------------------------------------------------------------
     def select_action(self, obs, info=None):
         """Warm-started receding-horizon solve (mpc.py:257-332)."""
+        import time as _time
+        _t0 = _time.perf_counter()
         nx, nu, T = self.model.nx, self.model.nu, self.T
         step = self.extract_step(info)
         goal_states = self.get_references(step)  # (nx, T+1)
@@ -355,6 +357,8 @@ class MPC(BaseController):
         self.results_dict['horizon_states'].append(deepcopy(self.x_prev))
         self.results_dict['horizon_inputs'].append(deepcopy(self.u_prev))
         self.results_dict['goal_states'].append(deepcopy(goal_states))
+        # Per-solve wall time (t_wall parity, mpc.py:322-323).
+        self.results_dict['t_wall'].append(_time.perf_counter() - _t0)
         u_arr = np.atleast_2d(u_val)
         if u_arr.shape[0] != nu:
             u_arr = u_arr.reshape(nu, -1)
