@@ -9,7 +9,7 @@ seeded from the controller seed rather than env.np_random.
 from __future__ import annotations
 
 from abc import ABC, abstractmethod
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict
 
 import numpy as np
 

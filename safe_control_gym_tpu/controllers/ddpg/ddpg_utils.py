@@ -9,7 +9,6 @@ functional OU/Gaussian processes in math/random_processes.
 from __future__ import annotations
 
 import functools
-from typing import Dict
 
 import jax
 import jax.numpy as jnp

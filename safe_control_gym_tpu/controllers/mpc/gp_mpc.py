@@ -20,7 +20,6 @@ A LinearMPC prior + Gaussian-process regression of the residual dynamics:
 
 from __future__ import annotations
 
-import time
 from typing import Optional
 
 import jax

@@ -18,7 +18,6 @@ stack of parameters:
 
 from __future__ import annotations
 
-from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -311,6 +311,8 @@ class MPC(BaseController):
         self._n_z = n_z
         self._m_rows = m_rows
         self._ms, self._mu = ms, mu
+        # Raw solve kept for composition (vmapped/batched MPC, scenario MPC).
+        self._solve_raw = solve
         self._solve_jit = jax.jit(solve)
 
     # ------------------------------------------------------------------

@@ -19,9 +19,7 @@ from __future__ import annotations
 import os
 import pickle
 import time
-from collections import defaultdict, deque
-from functools import partial
-from typing import Any, Dict, Optional
+from collections import deque
 
 import jax
 import jax.numpy as jnp

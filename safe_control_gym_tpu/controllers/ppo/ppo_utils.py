@@ -12,7 +12,7 @@ reversed time, vectorized over the env batch.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ from __future__ import annotations
 import os
 import pickle
 import time
-from collections import deque
 
 import jax
 import jax.numpy as jnp

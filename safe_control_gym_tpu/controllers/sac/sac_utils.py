@@ -9,7 +9,6 @@ tuning (:119-156), soft target updates (:421-424). The whole
 from __future__ import annotations
 
 import functools
-from typing import Dict
 
 import jax
 import jax.numpy as jnp

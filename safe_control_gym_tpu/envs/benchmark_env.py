@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import copy
 from enum import Enum
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional
 
 import gymnasium as gym
 from gymnasium import spaces

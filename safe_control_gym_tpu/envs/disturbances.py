@@ -21,7 +21,7 @@ uniform, white_noise, periodic.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,6 @@ envs/env_wrappers/vectorized_env/__init__.py:12-66.
 
 from __future__ import annotations
 
-from functools import partial
 
 from safe_control_gym_tpu.envs.env_wrappers.vectorized_env.dummy_vec_env import \
     DummyVecEnv

@@ -30,7 +30,6 @@ from __future__ import annotations
 import math
 from copy import deepcopy
 from enum import IntEnum
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ from __future__ import annotations
 import time
 from collections import defaultdict
 from copy import deepcopy
-from typing import Optional
 
 import gymnasium as gym
 import numpy as np

@@ -19,7 +19,6 @@ from __future__ import annotations
 import csv
 import os
 from functools import partial
-from typing import Any, Dict, Optional
 
 import numpy as np
 import yaml

@@ -10,7 +10,7 @@ correctly even under bf16 params.
 
 from __future__ import annotations
 
-from typing import Callable, List, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

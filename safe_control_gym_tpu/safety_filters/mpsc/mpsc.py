@@ -12,7 +12,6 @@ certified / correction (mpsc.py:228-235).
 from __future__ import annotations
 
 from abc import ABC, abstractmethod
-from copy import deepcopy
 
 import numpy as np
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 import argparse
 import ast
 import os
-from typing import Any, Dict, List, Optional
+from typing import Dict, Optional
 
 from safe_control_gym_tpu.utils.registration import get_config
 from safe_control_gym_tpu.utils.utils import (ConfigDict, deep_set,

@@ -9,8 +9,7 @@ from __future__ import annotations
 import logging
 import os
 import sys
-from collections import defaultdict
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import numpy as np
 

@@ -6,8 +6,6 @@ files. Matplotlib uses the Agg backend (headless)."""
 from __future__ import annotations
 
 import os
-from collections import defaultdict
-from functools import reduce
 
 import numpy as np
 

@@ -14,7 +14,7 @@ import random
 import subprocess
 import sys
 from copy import deepcopy
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import numpy as np
 import yaml
