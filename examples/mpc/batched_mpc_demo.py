@@ -60,8 +60,11 @@ def main():
     u0, res = batched(x0s)
     jax.block_until_ready(u0)
     dt = time.perf_counter() - t0
+    res_np = np.asarray(res)
     print(f'{B} MPC solves (h={ctrl.T}, 3 SQP x 250 ADMM) in {dt*1000:.1f}ms '
-          f'-> {B/dt:.0f} solves/s, max residual {float(res.max()):.2e}')
+          f'-> {B/dt:.0f} solves/s, median residual '
+          f'{float(np.median(res_np)):.2e}, '
+          f'{int((res_np < 1e-2).sum())}/{B} converged')
 
 
 if __name__ == '__main__':
