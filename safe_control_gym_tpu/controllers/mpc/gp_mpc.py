@@ -104,14 +104,28 @@ class GPMPC(LinearMPC):
         inputs = np.concatenate([x_seq, u_seq], axis=1)
         return inputs, targets
 
-    def _gather_training_samples(self, env, n_samples):
-        """One-step transitions from randomized initial states
-        (gp_mpc.py:704-757 semantics)."""
+    def _gather_training_samples(self, env, n_samples, use_lhs=True):
+        """One-step transitions from LHS-sampled initial states
+        (gp_mpc.py:704-757: skopt Lhs over the init-state ranges)."""
+        from safe_control_gym_tpu.controllers.mpc.gp_utils import lhs_sample
         nx, nu = self.model.nx, self.model.nu
         xs, us, xns = [], [], []
         rng = np.random.default_rng(self.seed)
-        for _ in range(n_samples):
-            obs, _ = env.reset()
+        if use_lhs:
+            # Stratified coverage of a moderate region of the state space.
+            lo = np.maximum(np.asarray(env.state_space.low) * 0.25, -2.0)
+            hi = np.minimum(np.asarray(env.state_space.high) * 0.25, 2.0)
+            init_states = lhs_sample(n_samples, lo, hi,
+                                     rand_state=self.seed)
+        for i in range(n_samples):
+            if use_lhs:
+                obs, _ = env.reset()
+                env._est = env._est.replace(
+                    state=jnp.asarray(init_states[i], jnp.float32))
+                env.state = init_states[i].astype(np.float32)
+                obs = env.state
+            else:
+                obs, _ = env.reset()
             if self.env.NAME == 'quadrotor':
                 u = rng.random(nu) / 20 - 1 / 40 + self.U_EQ
             else:

@@ -272,6 +272,20 @@ class GaussianProcessCollection:
             self.gps.append(gp)
 
 
+def lhs_sample(n_samples, lower, upper, rand_state=0):
+    """Latin hypercube sampling over a box (replaces skopt's Lhs used for
+    GP-MPC initial-state sampling, gp_mpc.py:704-757): one sample per
+    stratum per dimension, randomly permuted."""
+    lower = np.atleast_1d(np.asarray(lower, dtype=float))
+    upper = np.atleast_1d(np.asarray(upper, dtype=float))
+    d = lower.shape[0]
+    rng = np.random.default_rng(rand_state)
+    u = (rng.random((n_samples, d)) + np.arange(n_samples)[:, None]) / n_samples
+    for j in range(d):
+        u[:, j] = u[rng.permutation(n_samples), j]
+    return lower + u * (upper - lower)
+
+
 def kmeans_centriods(n_cent, data, rand_state=0, iters: int = 50):
     """Lloyd's k-means for inducing-point selection
     (gp_utils.py:1224-1236)."""
