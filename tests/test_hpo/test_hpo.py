@@ -1,0 +1,66 @@
+"""HPO study tests (mirrors reference tests/test_hpo/test_hpo.py:
+study creation, optimization, persistence/resume, both samplers)."""
+
+import os
+from functools import partial
+
+import numpy as np
+import pytest
+
+from safe_control_gym_tpu.hyperparameters.hpo import HPO
+from safe_control_gym_tpu.hyperparameters.study import create_study
+
+PPO_MINI = dict(
+    max_env_steps=800, rollout_batch_size=8, rollout_steps=25,
+    norm_obs=False, norm_reward=False, clip_obs=10, clip_reward=10,
+    use_gae=True, use_clipped_value=False, max_grad_norm=0.5,
+    deque_size=10, eval_batch_size=3, log_interval=0, save_interval=0,
+    num_checkpoints=0, eval_interval=0, eval_save_best=False,
+    tensorboard=False, num_workers=1)
+
+HPS_ALL = {k: 1 for k in ('hidden_dim', 'activation', 'gamma', 'gae_lambda',
+                          'clip_param', 'target_kl', 'entropy_coef',
+                          'opt_epochs', 'mini_batch_size', 'actor_lr',
+                          'critic_lr')}
+
+
+@pytest.mark.parametrize('SAMPLER', ['tpe', 'random'])
+def test_hpo_runs_and_persists(SAMPLER, tmp_path):
+    hpo = HPO('ppo', 'cartpole', sampler=SAMPLER, output_dir=str(tmp_path),
+              task_config={'normalized_rl_action_space': True},
+              algo_config=PPO_MINI,
+              hpo_config={'trials': 2, 'repetitions': 1, 'n_episodes': 2,
+                          'hps_config': HPS_ALL})
+    study = hpo.hyperparameter_optimization()
+    assert len(study.trials) == 2
+    assert os.path.exists(str(tmp_path / 'trials.csv'))
+    assert os.path.exists(str(tmp_path / 'study.json'))
+    assert os.path.exists(str(tmp_path / 'hyperparameters_0.yaml'))
+
+
+def test_hpo_study_resume(tmp_path):
+    """A new study with the same storage resumes prior trials
+    (reference MySQL-resume role)."""
+    path = str(tmp_path / 'study.json')
+
+    def obj(trial):
+        x = trial.suggest_float('x', 0.1, 10.0, log=True)
+        return -(np.log(x)) ** 2
+
+    s1 = create_study(sampler='tpe', seed=0, storage_path=path)
+    s1.optimize(obj, n_trials=5)
+    s2 = create_study(sampler='tpe', seed=1, storage_path=path)
+    assert len(s2.trials) == 5
+    s2.optimize(obj, n_trials=3)
+    assert len(s2.trials) == 8
+    assert s2.best_value is not None
+
+
+def test_hpo_database_helpers(tmp_path, monkeypatch):
+    """Storage create/drop (reference tests/test_hpo/test_hpo_database.py)."""
+    monkeypatch.chdir(tmp_path)
+    from safe_control_gym_tpu.hyperparameters import database
+    path = database.create('ppo')
+    assert os.path.isdir(path)
+    database.drop('ppo')
+    assert not os.path.isdir(path)
