@@ -149,13 +149,14 @@ class PPOAgent:
         def update(params, actor_opt_state, critic_opt_state, batch, key):
             """batch: dict of (M, ...) flattened rollout arrays."""
             M = batch['obs'].shape[0]
-            num_mb = max(M // mb_size, 1)
-            used = num_mb * mb_size
+            mb = min(mb_size, M)  # clamp when the rollout is smaller
+            num_mb = max(M // mb, 1)
+            used = num_mb * mb
 
             def epoch_body(carry, ep_key):
                 params, a_state, c_state = carry
                 perm = jax.random.permutation(ep_key, M)[:used]
-                mb_idx = perm.reshape(num_mb, mb_size)
+                mb_idx = perm.reshape(num_mb, mb)
 
                 def mb_body(carry, idx):
                     params, a_state, c_state = carry

@@ -47,7 +47,6 @@ from flax import struct
 from safe_control_gym_tpu.envs import constraints as constraints_mod
 from safe_control_gym_tpu.envs import disturbances as disturbances_mod
 from safe_control_gym_tpu.envs.trajectories import generate_trajectory
-from safe_control_gym_tpu.utils.utils import ConfigDict
 
 __all__ = ['Task', 'Cost', 'Environment', 'EnvState', 'StepOut', 'BenchmarkEnv']
 
