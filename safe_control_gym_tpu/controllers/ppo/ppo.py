@@ -230,6 +230,14 @@ class PPO(BaseController):
             if self.save_interval and self.total_steps % self.save_interval < steps_per_iter:
                 self.save(os.path.join(self.output_dir, 'checkpoints',
                                        f'model_{self.total_steps}.pt'))
+            # num_checkpoints evenly spaced saves (ppo.py:156-160 parity).
+            nckpt = int(getattr(self, 'num_checkpoints', 0) or 0)
+            if nckpt > 0:
+                interval = max(max_env_steps // nckpt, steps_per_iter)
+                if self.total_steps % interval < steps_per_iter:
+                    self.save(os.path.join(
+                        self.output_dir, 'checkpoints',
+                        f'model_{self.total_steps}.pt'))
             if self.eval_interval and self.total_steps % self.eval_interval < steps_per_iter:
                 eval_results = self.run(env=self.eval_env,
                                         n_episodes=int(self.eval_batch_size))

@@ -145,8 +145,18 @@ class ExperimentLogger:
 
     def load(self, step):
         """Truncate logs past the restore step for resumed runs
-        (logging.py:145-151)."""
+        (logging.py:145-151); the tensorboard writer is recreated with
+        purge_step so events after the restore point are dropped."""
         self.file_logger.restore(step)
+        if self.tb_writer is not None:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self.tb_writer.close()
+                self.tb_writer = SummaryWriter(
+                    log_dir=os.path.join(self.log_dir, 'tb'),
+                    purge_step=step)
+            except ImportError:
+                pass
 
     def close(self):
         self.std_logger.close()
