@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from safe_control_gym_tpu.math.distributions import Normal
+from safe_control_gym_tpu.math.distributions import Categorical, Normal
 from safe_control_gym_tpu.math.networks import mlp_apply, mlp_init
 
 __all__ = ['init_actor_critic', 'actor_dist', 'critic_value', 'PPOAgent',
@@ -27,20 +27,26 @@ __all__ = ['init_actor_critic', 'actor_dist', 'critic_value', 'PPOAgent',
 
 
 def init_actor_critic(key, obs_dim: int, act_dim: int, hidden_dims,
-                      init_logstd: float = -0.5):
-    """Actor (MLP -> mean, learned logstd) + critic MLP params
-    (MLPActorCritic, ppo_utils.py:197-236)."""
+                      init_logstd: float = -0.5, discrete: bool = False):
+    """Actor (MLP -> mean + learned logstd, or logits for discrete action
+    spaces) + critic MLP params (MLPActorCritic, ppo_utils.py:150-236)."""
     k_a, k_c = jax.random.split(key)
-    return {
+    params = {
         'actor': mlp_init(k_a, obs_dim, act_dim, hidden_dims),
-        'logstd': jnp.full((act_dim,), init_logstd),
         'critic': mlp_init(k_c, obs_dim, 1, hidden_dims, out_gain=1.0),
     }
+    if not discrete:
+        params['logstd'] = jnp.full((act_dim,), init_logstd)
+    return params
 
 
-def actor_dist(params, obs, activation='tanh') -> Normal:
-    mean = mlp_apply(params['actor'], obs, activation)
-    return Normal(mean, jnp.exp(params['logstd']))
+def actor_dist(params, obs, activation='tanh'):
+    """Gaussian for continuous actors; Categorical over logits when the
+    params carry no logstd (discrete branch, ppo_utils.py:162-166)."""
+    out = mlp_apply(params['actor'], obs, activation)
+    if 'logstd' in params:
+        return Normal(out, jnp.exp(params['logstd']))
+    return Categorical(out)
 
 
 def critic_value(params, obs, activation='tanh'):
@@ -92,7 +98,10 @@ class PPOAgent:
         self.obs_space = obs_space
         self.act_space = act_space
         self.obs_dim = obs_space.shape[0]
-        self.act_dim = act_space.shape[0]
+        # Discrete (gym.spaces.Discrete-like) vs continuous Box.
+        self.discrete = hasattr(act_space, 'n')
+        self.act_dim = (int(act_space.n) if self.discrete
+                        else act_space.shape[0])
         self.use_clipped_value = use_clipped_value
         self.clip_param = clip_param
         self.target_kl = target_kl
@@ -104,12 +113,14 @@ class PPOAgent:
 
         self.params = init_actor_critic(jax.random.PRNGKey(seed),
                                         self.obs_dim, self.act_dim,
-                                        [hidden_dim] * 2)
+                                        [hidden_dim] * 2,
+                                        discrete=self.discrete)
         self.actor_opt = optax.chain(
             optax.clip_by_global_norm(max_grad_norm), optax.adam(actor_lr))
         self.critic_opt = optax.chain(
             optax.clip_by_global_norm(max_grad_norm), optax.adam(critic_lr))
-        actor_sub = {'actor': self.params['actor'], 'logstd': self.params['logstd']}
+        actor_sub = {k: self.params[k] for k in ('actor', 'logstd')
+                     if k in self.params}
         self.actor_opt_state = self.actor_opt.init(actor_sub)
         self.critic_opt_state = self.critic_opt.init(self.params['critic'])
         self._update_jit = jax.jit(self._make_update())
@@ -117,9 +128,7 @@ class PPOAgent:
     # -- pure pieces -----------------------------------------------------
     def policy_loss_fn(self, actor_params, obs, act, logp_old, adv):
         """Clipped surrogate + entropy + approx KL (ppo_utils.py:82-97)."""
-        dist = actor_dist({'actor': actor_params['actor'],
-                           'logstd': actor_params['logstd']}, obs,
-                          self.activation)
+        dist = actor_dist(actor_params, obs, self.activation)
         logp = dist.log_prob(act)
         ratio = jnp.exp(logp - logp_old)
         clip_adv = jnp.clip(ratio, 1 - self.clip_param,
@@ -160,13 +169,13 @@ class PPOAgent:
 
                 def mb_body(carry, idx):
                     params, a_state, c_state = carry
-                    mb = {k: v[idx] for k, v in batch.items()}
-                    actor_sub = {'actor': params['actor'],
-                                 'logstd': params['logstd']}
+                    mbatch = {k: v[idx] for k, v in batch.items()}
+                    actor_sub = {k: params[k] for k in ('actor', 'logstd')
+                                 if k in params}
                     (pl_total, (p_loss, e_loss, kl)), grads = \
                         jax.value_and_grad(self.policy_loss_fn, has_aux=True)(
-                            actor_sub, mb['obs'], mb['act'], mb['logp'],
-                            mb['adv'])
+                            actor_sub, mbatch['obs'], mbatch['act'],
+                            mbatch['logp'], mbatch['adv'])
                     updates, a_state_new = self.actor_opt.update(
                         grads, a_state, actor_sub)
                     actor_new = optax.apply_updates(actor_sub, updates)
@@ -180,13 +189,12 @@ class PPOAgent:
                         lambda new, old: jnp.where(gate, new, old),
                         a_state_new, a_state)
                     v_loss, v_grads = jax.value_and_grad(self.value_loss_fn)(
-                        params['critic'], mb['obs'], mb['ret'], mb['v'])
+                        params['critic'], mbatch['obs'], mbatch['ret'],
+                        mbatch['v'])
                     v_updates, c_state = self.critic_opt.update(
                         v_grads, c_state, params['critic'])
                     critic_new = optax.apply_updates(params['critic'], v_updates)
-                    params = {'actor': actor_applied['actor'],
-                              'logstd': actor_applied['logstd'],
-                              'critic': critic_new}
+                    params = dict(actor_applied, critic=critic_new)
                     return (params, a_state, c_state), jnp.stack(
                         [p_loss, v_loss, e_loss, kl])
 

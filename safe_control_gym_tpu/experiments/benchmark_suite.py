@@ -1,0 +1,152 @@
+"""Reproduction of the reference's headline benchmark protocol.
+
+The reference's README performance table (README.md:169-193) measures
+"speed-up = elapsed simulated time / elapsed wall-clock time" under
+open-loop random actions for cartpole and quadrotor, with and without
+constraints + disturbances. This module runs the same protocol on the
+TPU-native envs — both single-env (apples-to-apples with the reference's
+numbers) and batched (the TPU-native operating point) — and prints a
+markdown table.
+
+Run: python -m safe_control_gym_tpu.experiments.benchmark_suite [--batch N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from safe_control_gym_tpu.utils.registration import make
+
+# Reference numbers (README.md:181-189, i7-1068NG7 CPU, no GUI).
+REFERENCE_SPEEDUPS = {
+    ('cartpole', False): 24.73,
+    ('cartpole', True): 22.39,
+    ('quadrotor', False): 9.28,
+    ('quadrotor', True): 7.62,
+}
+
+CONSTRAINTS = {
+    'cartpole': [{'constraint_form': 'default_constraint',
+                  'constrained_variable': 'state'},
+                 {'constraint_form': 'default_constraint',
+                  'constrained_variable': 'input'}],
+    'quadrotor': [{'constraint_form': 'default_constraint',
+                   'constrained_variable': 'state'},
+                  {'constraint_form': 'default_constraint',
+                   'constrained_variable': 'input'}],
+}
+
+DISTURBANCES = {'action': [{'disturbance_func': 'white_noise', 'std': 0.1}]}
+
+
+def _env_kwargs(system, constrained):
+    kw = dict(seed=0, ctrl_freq=50, pyb_freq=1000, episode_len_sec=5)
+    if system == 'quadrotor':
+        kw.update(quad_type=2, randomized_init=False,
+                  init_state={'init_z': 1.0},
+                  task_info={'stabilization_goal': [0, 1],
+                             'stabilization_goal_tolerance': 0.0})
+    if constrained:
+        kw.update(constraints=CONSTRAINTS[system],
+                  disturbances=DISTURBANCES)
+    return kw
+
+
+def measure_single_env(system, constrained, n_steps=2000):
+    """Single env, host-loop stepping — the reference's exact protocol."""
+    env = make(system, **_env_kwargs(system, constrained))
+    env.reset()
+    rng = np.random.default_rng(0)
+    lo, hi = env.action_space.low, env.action_space.high
+    # Warm up the jitted step.
+    env.step(rng.uniform(lo, hi).astype(np.float32))
+    env.reset()
+    t0 = time.perf_counter()
+    steps = 0
+    for _ in range(n_steps):
+        action = rng.uniform(lo, hi).astype(np.float32)
+        _, _, done, _ = env.step(action)
+        steps += 1
+        if done:
+            env.reset()
+    wall = time.perf_counter() - t0
+    sim_time = steps * env.CTRL_TIMESTEP
+    env.close()
+    return sim_time / wall, steps / wall
+
+
+def measure_batched(system, constrained, batch=4096, n_steps=128):
+    """Batched fused rollout — the TPU-native operating point."""
+    env = make(system, **_env_kwargs(system, constrained))
+    func = env.func
+    reset_v = jax.vmap(func.reset)
+    step_v = jax.vmap(func.step)
+    act_dim = func.act_dim
+    lo = jnp.asarray(env.action_space.low, jnp.float32)
+    hi = jnp.asarray(env.action_space.high, jnp.float32)
+
+    def rollout(states, key):
+        def body(carry, _):
+            states, key = carry
+            key, k_act, k_reset = jax.random.split(key, 3)
+            actions = jax.random.uniform(k_act, (batch, act_dim),
+                                         minval=lo, maxval=hi)
+            states, out = step_v(states, actions)
+            reset_keys = jax.random.split(k_reset, batch)
+            fresh, _ = reset_v(reset_keys)
+            states = jax.tree.map(
+                lambda f, s: jnp.where(
+                    out.done.reshape((batch,) + (1,) * (s.ndim - 1)), f, s),
+                fresh, states)
+            return (states, key), out.reward
+
+        (states, _), rewards = jax.lax.scan(body, (states, key), None,
+                                            length=n_steps)
+        return states, rewards.sum()
+
+    rollout_jit = jax.jit(rollout, donate_argnums=(0,))
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    states, _ = reset_v(keys)
+    states, r = rollout_jit(states, jax.random.PRNGKey(1))
+    jax.block_until_ready(r)
+    keys = jax.random.split(jax.random.PRNGKey(2), batch)
+    states, _ = reset_v(keys)
+    t0 = time.perf_counter()
+    states, r = rollout_jit(states, jax.random.PRNGKey(3))
+    jax.block_until_ready(r)
+    wall = time.perf_counter() - t0
+    total_steps = batch * n_steps
+    sim_time = total_steps * env.CTRL_TIMESTEP
+    env.close()
+    return sim_time / wall, total_steps / wall
+
+
+def run(batch=4096, single_steps=2000):
+    rows = []
+    for system in ('cartpole', 'quadrotor'):
+        for constrained in (False, True):
+            ref = REFERENCE_SPEEDUPS[(system, constrained)]
+            su1, sps1 = measure_single_env(system, constrained,
+                                           n_steps=single_steps)
+            sub, spsb = measure_batched(system, constrained, batch=batch)
+            rows.append((system, constrained, ref, su1, sps1, sub, spsb))
+    print('| system | constraints+dist | reference speed-up | single-env '
+          'speed-up | single steps/s | batched speed-up | batched steps/s |')
+    print('|---|---|---|---|---|---|---|')
+    for system, c, ref, su1, sps1, sub, spsb in rows:
+        print(f'| {system} | {"yes" if c else "no"} | {ref:.2f}x | '
+              f'{su1:.1f}x | {sps1:,.0f} | {sub:,.0f}x | {spsb:,.0f} |')
+    return rows
+
+
+if __name__ == '__main__':
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--batch', type=int, default=4096)
+    parser.add_argument('--single_steps', type=int, default=2000)
+    args = parser.parse_args()
+    run(batch=args.batch, single_steps=args.single_steps)

@@ -52,8 +52,13 @@ class Categorical:
         return jax.random.categorical(key, self.logits, axis=-1)
 
     def log_prob(self, value):
-        value = value.astype(jnp.int32)
-        lp = jnp.take_along_axis(self.log_p, value[..., None], axis=-1)
+        value = jnp.asarray(value).astype(jnp.int32)
+        # Accept (...,) indices or (..., 1) index columns.
+        if value.ndim == self.logits.ndim:
+            idx = value
+        else:
+            idx = value[..., None]
+        lp = jnp.take_along_axis(self.log_p, idx, axis=-1)
         return lp
 
     def entropy(self):
