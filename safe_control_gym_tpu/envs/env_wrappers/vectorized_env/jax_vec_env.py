@@ -101,6 +101,17 @@ class JaxVecEnv(VecEnv):
         return [fn(*method_args, **method_kwargs)
                 for _ in self._get_indices(indices)]
 
+    def get_images(self):
+        """Rasterize every env in the batch via the template renderer."""
+        frames = []
+        saved = getattr(self.template, 'state', None)
+        states = np.asarray(self._states.state)
+        for i in range(self.num_envs):
+            self.template.state = states[i]
+            frames.append(self.template.render())
+        self.template.state = saved
+        return frames
+
     def close_extras(self):
         self.template.close()
 

@@ -64,6 +64,17 @@ class VecEnv(ABC):
                    indices=None):
         raise NotImplementedError
 
+    def get_images(self):
+        """Return one RGB frame per env (vec_env.py:100-110 parity)."""
+        raise NotImplementedError
+
+    def render(self, mode='rgb_array'):
+        """Tile all env frames into one image (vec_env.py:112-128)."""
+        from safe_control_gym_tpu.envs.env_wrappers.vectorized_env.\
+            vec_env_utils import tile_images
+        import numpy as np
+        return tile_images(np.stack(self.get_images()))
+
     def _get_indices(self, indices):
         if indices is None:
             indices = range(self.num_envs)

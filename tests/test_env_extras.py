@@ -104,3 +104,28 @@ def test_jax_vec_env_random_state_roundtrip():
     venv.reset()
     venv.set_env_random_state(state)
     venv.close()
+
+
+def test_vec_env_get_images_and_tiled_render():
+    """VecEnv.get_images + tiled render (reference vec_env.py:100-128)."""
+    import functools
+    from safe_control_gym_tpu.envs.env_wrappers.vectorized_env.dummy_vec_env \
+        import DummyVecEnv
+    from safe_control_gym_tpu.envs.env_wrappers.vectorized_env.jax_vec_env \
+        import JaxVecEnv
+    from safe_control_gym_tpu.utils.registration import make
+
+    venv = JaxVecEnv(lambda: make('cartpole', seed=0), 4)
+    venv.reset()
+    imgs = venv.get_images()
+    assert len(imgs) == 4 and imgs[0].ndim == 3 and imgs[0].shape[2] == 3
+    tiled = venv.render()
+    assert tiled.ndim == 3 and tiled.shape[2] == 3
+    assert tiled.shape[0] >= imgs[0].shape[0]
+    venv.close()
+
+    venv = DummyVecEnv([functools.partial(make, 'cartpole', seed=i)
+                        for i in range(2)])
+    venv.reset()
+    assert len(venv.get_images()) == 2
+    venv.close()
