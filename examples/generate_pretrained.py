@@ -1,0 +1,72 @@
+"""Generate the committed pretrained artifacts the examples load.
+
+The reference ships pretrained models under ``examples/rl/models/*.pt`` and
+``examples/mpsc/models/*.pkl`` so demo scripts evaluate instead of training
+(rl_experiment.py:46-60, mpsc_experiment.py:64-200). This script reproduces
+those artifacts for the TPU build using the example YAML configs themselves.
+Run from the repo root:
+
+    python examples/generate_pretrained.py [--steps 45000]
+"""
+
+import argparse
+import os
+from functools import partial
+
+import yaml
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _load_yaml(*parts):
+    with open(os.path.join(HERE, *parts)) as f:
+        return yaml.safe_load(f)
+
+
+def train_rl(algo, steps):
+    from safe_control_gym_tpu.utils.registration import get_config, make
+    task_cfg = _load_yaml('rl', 'config_overrides', 'cartpole',
+                          'cartpole_stab.yaml')['task_config']
+    # Defaults from the algo's registered YAML, then the example overrides
+    # (what ConfigFactory does for the CLI entry points).
+    algo_cfg = get_config(algo)
+    algo_cfg.update(_load_yaml('rl', 'config_overrides', 'cartpole',
+                               f'{algo}_cartpole.yaml')['algo_config'])
+    algo_cfg['max_env_steps'] = steps
+    env_func = partial(make, 'cartpole', **task_cfg)
+    ctrl = make(algo, env_func, training=True, seed=0,
+                output_dir=f'/tmp/pretrain_{algo}', **algo_cfg)
+    ctrl.learn()
+    out_dir = os.path.join(HERE, 'rl', 'models', algo)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, 'model_latest_cartpole.pt')
+    ctrl.save(path)
+    ctrl.close()
+    print(f'{algo}: saved {path}')
+
+
+def learn_mpsc():
+    from safe_control_gym_tpu.utils.registration import make
+    task_cfg = _load_yaml('mpsc', 'config_overrides', 'cartpole',
+                          'cartpole_stab.yaml')['task_config']
+    from safe_control_gym_tpu.utils.registration import get_config
+    sf_cfg = get_config('linear_mpsc')
+    sf_cfg.update(_load_yaml('mpsc', 'config_overrides', 'cartpole',
+                             'linear_mpsc_cartpole_stab.yaml')['sf_config'])
+    env_func = partial(make, 'cartpole', **task_cfg)
+    sf = make('linear_mpsc', env_func, **sf_cfg)
+    sf.learn()
+    out_dir = os.path.join(HERE, 'mpsc', 'models')
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, 'mpsc_cartpole.pkl')
+    sf.save(path)
+    print(f'mpsc: saved {path}')
+
+
+if __name__ == '__main__':
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--steps', type=int, default=45000)
+    args = parser.parse_args()
+    train_rl('ppo', args.steps)
+    train_rl('sac', args.steps // 2)
+    learn_mpsc()
