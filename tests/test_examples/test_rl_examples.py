@@ -1,0 +1,63 @@
+"""Pretrained-artifact tests (reference examples/rl/models, examples/mpsc/models)."""
+
+import functools
+
+
+
+def test_pretrained_artifacts_load_and_solve():
+    """The committed pretrained models load and hold the pole upright
+    (reference ships examples/rl/models/*.pt, rl_experiment.py:46-60)."""
+    import os
+
+    import yaml
+
+    from safe_control_gym_tpu.experiments.base_experiment import \
+        BaseExperiment
+    from safe_control_gym_tpu.utils.registration import get_config, make
+    root = os.path.join(os.path.dirname(__file__), '..', '..', 'examples')
+    with open(os.path.join(root, 'rl', 'config_overrides', 'cartpole',
+                           'cartpole_stab.yaml')) as f:
+        task = yaml.safe_load(f)['task_config']
+    env_func = functools.partial(make, 'cartpole', **task)
+    for algo in ('ppo', 'sac'):
+        path = os.path.join(root, 'rl', 'models', algo,
+                            'model_latest_cartpole.pt')
+        assert os.path.exists(path), path
+        cfg = get_config(algo)
+        with open(os.path.join(root, 'rl', 'config_overrides', 'cartpole',
+                               f'{algo}_cartpole.yaml')) as f:
+            cfg.update(yaml.safe_load(f)['algo_config'])
+        ctrl = make(algo, env_func, training=False, output_dir='/tmp/evalpre',
+                    **cfg)
+        ctrl.load(path)
+        exp = BaseExperiment(env=env_func(), ctrl=ctrl)
+        _, metrics = exp.run_evaluation(n_episodes=1, verbose=False)
+        exp.close()
+        ctrl.close()
+        # Full episode without falling (250 steps at 50 Hz / 5 s).
+        assert metrics['average_length'] >= 240, (algo, metrics)
+
+
+def test_pretrained_mpsc_artifact_certifies():
+    import os
+
+    import numpy as np
+    import yaml
+
+    from safe_control_gym_tpu.utils.registration import get_config, make
+    root = os.path.join(os.path.dirname(__file__), '..', '..', 'examples')
+    base = os.path.join(root, 'mpsc', 'config_overrides', 'cartpole')
+    with open(os.path.join(base, 'cartpole_stab.yaml')) as f:
+        task = yaml.safe_load(f)['task_config']
+    sf_cfg = get_config('linear_mpsc')
+    with open(os.path.join(base, 'linear_mpsc_cartpole_stab.yaml')) as f:
+        sf_cfg.update(yaml.safe_load(f)['sf_config'])
+    env_func = functools.partial(make, 'cartpole', **task)
+    sf = make('linear_mpsc', env_func, **sf_cfg)
+    sf.load(os.path.join(root, 'mpsc', 'models', 'mpsc_cartpole.pkl'))
+    env = env_func()
+    obs, _ = env.reset()
+    sf.reset_before_run(env=env)
+    u, success = sf.certify_action(obs, np.array([0.5], np.float32))
+    assert success
+    assert np.isfinite(u).all()
