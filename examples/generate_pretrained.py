@@ -63,10 +63,51 @@ def learn_mpsc():
     print(f'mpsc: saved {path}')
 
 
+def train_safe_explorer(steps):
+    from safe_control_gym_tpu.utils.registration import get_config, make
+    spec = _load_yaml('rl', 'config_overrides', 'cartpole',
+                      'safe_explorer_ppo_cartpole.yaml')
+    task_cfg = _load_yaml('rl', 'config_overrides', 'cartpole',
+                          'cartpole_stab.yaml')['task_config']
+    task_cfg.update(spec.get('task_config', {}))
+    cfg = get_config('safe_explorer_ppo')
+    cfg.update(spec['algo_config'])
+    cfg.update(max_env_steps=steps, constraint_steps_per_epoch=1000,
+               constraint_epochs=3)
+    env_func = partial(make, 'cartpole', **task_cfg)
+    ctrl = make('safe_explorer_ppo', env_func, training=True, seed=0,
+                output_dir='/tmp/pretrain_se', **cfg)
+    ctrl.learn()
+    out_dir = os.path.join(HERE, 'rl', 'models', 'safe_explorer_ppo')
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, 'model_latest_cartpole.pt')
+    ctrl.save(path)
+    ctrl.close()
+    print(f'safe_explorer_ppo: saved {path}')
+
+
+def learn_cbf_nn():
+    from safe_control_gym_tpu.utils.registration import get_config, make
+    task_cfg = _load_yaml('cbf', 'config_overrides', 'cartpole',
+                          'cartpole_stab.yaml')['task_config']
+    env_func = partial(make, 'cartpole', **task_cfg)
+    sf_cfg = get_config('cbf_nn')
+    sf_cfg.update(num_episodes=5, train_iterations=100)
+    sf = make('cbf_nn', env_func, **sf_cfg)
+    sf.learn()
+    out_dir = os.path.join(HERE, 'cbf', 'models')
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, 'cbf_nn_cartpole.pt')
+    sf.save(path)
+    print(f'cbf_nn: saved {path}')
+
+
 if __name__ == '__main__':
     parser = argparse.ArgumentParser()
     parser.add_argument('--steps', type=int, default=45000)
     args = parser.parse_args()
     train_rl('ppo', args.steps)
     train_rl('sac', args.steps // 2)
+    train_safe_explorer(args.steps // 2)
     learn_mpsc()
+    learn_cbf_nn()
