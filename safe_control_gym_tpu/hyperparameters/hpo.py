@@ -43,7 +43,14 @@ class HPO:
         self.task = task
         self.output_dir = output_dir
         self.task_config = dict(task_config or {})
-        self.algo_config = dict(algo_config or {})
+        # Registry defaults under the user's algo overrides (what the
+        # reference's ConfigFactory does before HPO, hpo.py:27-60).
+        try:
+            from safe_control_gym_tpu.utils.registration import get_config
+            self.algo_config = get_config(algo)
+        except Exception:
+            self.algo_config = {}
+        self.algo_config.update(algo_config or {})
         self.hpo_config = dict(hpo_config or {})
         self.n_trials = int(self.hpo_config.get('trials', 20))
         self.n_repetitions = int(self.hpo_config.get('repetitions', 2))

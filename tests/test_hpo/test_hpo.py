@@ -64,3 +64,27 @@ def test_hpo_database_helpers(tmp_path, monkeypatch):
     assert os.path.isdir(path)
     database.drop('ppo')
     assert not os.path.isdir(path)
+
+
+def test_hpo_sac_gpmpc_configs_run(tmp_path):
+    """The sac/gp_mpc example HPO configs drive a trial end-to-end
+    (reference examples/hpo/{rl/sac,gp_mpc} trees)."""
+    import yaml
+    root = os.path.join(os.path.dirname(__file__), '..', '..', 'examples',
+                        'hpo', 'config_overrides')
+    with open(os.path.join(root, 'sac_cartpole_hpo.yaml')) as f:
+        spec = yaml.safe_load(f)
+    algo_cfg = dict(spec['algo_config'])
+    algo_cfg['max_env_steps'] = 1200
+    hpo_cfg = dict(spec['hpo_config'])
+    hpo_cfg.update(trials=1, n_episodes=1)
+    # Keep the trial tiny: drop hyperparameters that control run length.
+    hpo_cfg['hps_config'] = {'gamma': 1, 'tau': 1, 'actor_lr': 1,
+                             'critic_lr': 1}
+    hpo = HPO('sac', 'cartpole', sampler='tpe',
+              output_dir=str(tmp_path / 'sac'),
+              task_config=spec['task_config'], algo_config=algo_cfg,
+              hpo_config=hpo_cfg)
+    study = hpo.hyperparameter_optimization()
+    assert len(study.trials) == 1
+    assert study.best_value is not None
