@@ -23,26 +23,26 @@ def _load_yaml(*parts):
         return yaml.safe_load(f)
 
 
-def train_rl(algo, steps):
+def train_rl(algo, steps, sysdir='cartpole', system='cartpole'):
     from safe_control_gym_tpu.utils.registration import get_config, make
-    task_cfg = _load_yaml('rl', 'config_overrides', 'cartpole',
-                          'cartpole_stab.yaml')['task_config']
+    task_cfg = _load_yaml('rl', 'config_overrides', sysdir,
+                          f'{sysdir}_stab.yaml')['task_config']
     # Defaults from the algo's registered YAML, then the example overrides
     # (what ConfigFactory does for the CLI entry points).
     algo_cfg = get_config(algo)
-    algo_cfg.update(_load_yaml('rl', 'config_overrides', 'cartpole',
-                               f'{algo}_cartpole.yaml')['algo_config'])
+    algo_cfg.update(_load_yaml('rl', 'config_overrides', sysdir,
+                               f'{algo}_{sysdir}.yaml')['algo_config'])
     algo_cfg['max_env_steps'] = steps
-    env_func = partial(make, 'cartpole', **task_cfg)
+    env_func = partial(make, system, **task_cfg)
     ctrl = make(algo, env_func, training=True, seed=0,
-                output_dir=f'/tmp/pretrain_{algo}', **algo_cfg)
+                output_dir=f'/tmp/pretrain_{algo}_{sysdir}', **algo_cfg)
     ctrl.learn()
     out_dir = os.path.join(HERE, 'rl', 'models', algo)
     os.makedirs(out_dir, exist_ok=True)
-    path = os.path.join(out_dir, 'model_latest_cartpole.pt')
+    path = os.path.join(out_dir, f'model_latest_{system}.pt')
     ctrl.save(path)
     ctrl.close()
-    print(f'{algo}: saved {path}')
+    print(f'{algo}/{sysdir}: saved {path}')
 
 
 def learn_mpsc():
@@ -108,6 +108,9 @@ if __name__ == '__main__':
     args = parser.parse_args()
     train_rl('ppo', args.steps)
     train_rl('sac', args.steps // 2)
+    train_rl('ppo', args.steps, sysdir='quadrotor_2D', system='quadrotor')
+    train_rl('sac', args.steps // 2, sysdir='quadrotor_2D',
+             system='quadrotor')
     train_safe_explorer(args.steps // 2)
     learn_mpsc()
     learn_cbf_nn()
