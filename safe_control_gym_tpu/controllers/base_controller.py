@@ -8,6 +8,7 @@ seeded from the controller seed rather than env.np_random.
 
 from __future__ import annotations
 
+import os
 from abc import ABC, abstractmethod
 from typing import Any, Callable, Dict
 
@@ -29,6 +30,10 @@ class BaseController(ABC):
                  **kwargs):
         self.env_func = env_func
         self.training = training
+        # Bare filenames resolve under output_dir so end-of-training saves
+        # never land in the caller's CWD.
+        if checkpoint_path and not os.path.dirname(checkpoint_path):
+            checkpoint_path = os.path.join(output_dir, checkpoint_path)
         self.checkpoint_path = checkpoint_path
         self.output_dir = output_dir
         self.use_gpu = use_gpu
