@@ -17,6 +17,13 @@ import argparse
 import time
 
 import jax
+
+# Hardware RNG: same choice as bench.py (threefry bit-gen was ~1/3 of the
+# env-step cost on v5e).
+try:
+    jax.config.update('jax_default_prng_impl', 'rbg')
+except Exception:
+    pass
 import jax.numpy as jnp
 import numpy as np
 
@@ -114,25 +121,34 @@ def measure_batched(system, constrained, batch=4096, n_steps=128):
     states, _ = reset_v(keys)
     states, r = rollout_jit(states, jax.random.PRNGKey(1))
     jax.block_until_ready(r)
-    keys = jax.random.split(jax.random.PRNGKey(2), batch)
-    states, _ = reset_v(keys)
-    t0 = time.perf_counter()
-    states, r = rollout_jit(states, jax.random.PRNGKey(3))
-    jax.block_until_ready(r)
-    wall = time.perf_counter() - t0
+    best = float('inf')
+    for i in range(3):
+        keys = jax.random.split(jax.random.PRNGKey(2 + i), batch)
+        states, _ = reset_v(keys)
+        t0 = time.perf_counter()
+        states, r = rollout_jit(states, jax.random.PRNGKey(10 + i))
+        jax.block_until_ready(r)
+        best = min(best, time.perf_counter() - t0)
     total_steps = batch * n_steps
     sim_time = total_steps * env.CTRL_TIMESTEP
     env.close()
-    return sim_time / wall, total_steps / wall
+    return sim_time / best, total_steps / best
 
 
-def run(batch=4096, single_steps=2000):
+def run(batch=4096, single_steps=2000, skip_single=False):
+    # NOTE: under the remote-TPU tunnel every single-env step pays the
+    # dispatch round-trip; run the single-env protocol on the CPU backend
+    # (JAX_PLATFORMS=cpu / jax_platforms config) for an apples-to-apples
+    # host number, and the batched protocol on the TPU.
     rows = []
     for system in ('cartpole', 'quadrotor'):
         for constrained in (False, True):
             ref = REFERENCE_SPEEDUPS[(system, constrained)]
-            su1, sps1 = measure_single_env(system, constrained,
-                                           n_steps=single_steps)
+            if skip_single:
+                su1, sps1 = float('nan'), float('nan')
+            else:
+                su1, sps1 = measure_single_env(system, constrained,
+                                               n_steps=single_steps)
             sub, spsb = measure_batched(system, constrained, batch=batch)
             rows.append((system, constrained, ref, su1, sps1, sub, spsb))
     print('| system | constraints+dist | reference speed-up | single-env '
@@ -148,5 +164,7 @@ if __name__ == '__main__':
     parser = argparse.ArgumentParser()
     parser.add_argument('--batch', type=int, default=4096)
     parser.add_argument('--single_steps', type=int, default=2000)
+    parser.add_argument('--skip_single', action='store_true')
     args = parser.parse_args()
-    run(batch=args.batch, single_steps=args.single_steps)
+    run(batch=args.batch, single_steps=args.single_steps,
+        skip_single=args.skip_single)
