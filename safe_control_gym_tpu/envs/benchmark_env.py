@@ -197,7 +197,7 @@ class BenchmarkEnv(gym.Env):
                  constraints=None,
                  done_on_violation: bool = False,
                  use_constraint_penalty: bool = False,
-                 constraint_penalty: float = -1,
+                 constraint_penalty: float = 1.0,
                  disturbances=None,
                  adversary_disturbance=None,
                  adversary_disturbance_offset: float = 0.0,
