@@ -7,6 +7,22 @@ train_env, optional safety_filter); it wraps the env in RecordDataWrapper
 and computes the standard metric dict {average_length, average_return,
 average_rmse, rmse_std, worst_case_rmse_at_0.5 (CVaR), failure_rate,
 average_constraint_violation, constraint_violation_std} via MetricExtractor.
+
+Design note: this harness is intentionally host-side and sequential — it
+is the *measurement* path, where per-step info dicts, wall-clock pacing,
+and arbitrary controller/filter combinations matter more than throughput.
+The TPU-native *training/benchmark* paths never go through it: RL
+controllers roll out with fused ``lax.scan`` programs over vmapped env
+batches, and batched controller evaluation vmaps the functional env core
+directly (see ``experiments/benchmark_suite.py``). The two paths share the
+same underlying pure step function, so what this harness measures is
+exactly what the fused programs execute — the shim only mirrors the latest
+``StepOut`` into numpy/info-dict form for the metric extractor.
+
+Certification plumbing matches the reference: actions are denormalized
+before the safety filter sees them and renormalized after
+(base_experiment.py:167-194), so filters always reason in physical units
+regardless of the controller's action space convention.
 """
 
 from __future__ import annotations
@@ -261,7 +277,15 @@ class RecordDataWrapper(gym.Wrapper):
 
 class MetricExtractor:
     """Standard metrics from recorded trajectory data
-    (base_experiment.py:380-493)."""
+    (base_experiment.py:380-493).
+
+    Operates purely on the RecordDataWrapper's episode-major arrays: each
+    key maps to a list of per-episode numpy arrays, and per-step scalars
+    (``mse``, ``constraint_violation``) are pulled from either top-level
+    keys or the per-step info dicts, whichever the wrapper recorded —
+    identical lookup order to the reference so downstream analysis scripts
+    see the same numbers from both frameworks.
+    """
 
     def compute_metrics(self, data, verbose=False):
         self.data = data

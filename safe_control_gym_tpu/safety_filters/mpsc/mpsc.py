@@ -7,6 +7,28 @@ tube MPC; on infeasibility it replays the previous plan step ``k_inf`` with
 LQR tube feedback, else falls back to pure LQR, flagging success=False
 (mpsc.py:171-226). Results bookkeeping: feasible / kinf / uncertified /
 certified / correction (mpsc.py:228-235).
+
+TPU-native division of labor
+----------------------------
+This abstract class is deliberately thin host-side orchestration: it holds
+the mutable per-episode bookkeeping (previous plan ``z_prev``/``v_prev``,
+the infeasibility counter ``kinf``, the results_dict lists) and the
+fallback ladder, all of which are control-flow on scalars and tiny
+vectors where XLA buys nothing. Everything numerical lives in the concrete
+subclass (``linear_mpsc.py``): the tube-MPC solve there is a single jitted
+SQP+ADMM program in delta coordinates (one XLA dispatch per
+``solve_optimization`` call), the RPI-set synthesis is on-device penalized
+log-det descent, and the tightening is exact interval arithmetic. Keeping
+the ladder on host also means an infeasible solve costs one matvec — no
+recompilation and no extra device round-trips beyond the failed solve
+itself.
+
+Where the reference builds its optimizer once with CasADi ``Opti`` and
+mutates parameter values per call, the jitted solve here is re-entrant and
+stateless: warm starts are threaded through explicit arguments, so the
+same compiled executable certifies any number of concurrent runs (and can
+be ``vmap``-ped over a batch of states for controller-evaluation sweeps —
+something a stateful Opti instance fundamentally cannot do).
 """
 
 from __future__ import annotations
