@@ -38,6 +38,35 @@ def test_pretrained_artifacts_load_and_solve():
         assert metrics['average_length'] >= 240, (algo, metrics)
 
 
+def test_pretrained_quadrotor_artifacts_fly():
+    """The committed quadrotor_2D policies hold full hover episodes."""
+    import os
+
+    import yaml
+
+    from safe_control_gym_tpu.experiments.base_experiment import \
+        BaseExperiment
+    from safe_control_gym_tpu.utils.registration import get_config, make
+    root = os.path.join(os.path.dirname(__file__), '..', '..', 'examples')
+    base = os.path.join(root, 'rl', 'config_overrides', 'quadrotor_2D')
+    with open(os.path.join(base, 'quadrotor_2D_stab.yaml')) as f:
+        task = yaml.safe_load(f)['task_config']
+    env_func = functools.partial(make, 'quadrotor', **task)
+    for algo in ('ppo', 'sac'):
+        cfg = get_config(algo)
+        with open(os.path.join(base, f'{algo}_quadrotor_2D.yaml')) as f:
+            cfg.update(yaml.safe_load(f)['algo_config'])
+        ctrl = make(algo, env_func, training=False,
+                    output_dir='/tmp/evalpre', **cfg)
+        ctrl.load(os.path.join(root, 'rl', 'models', algo,
+                               'model_latest_quadrotor.pt'))
+        exp = BaseExperiment(env=env_func(), ctrl=ctrl)
+        _, metrics = exp.run_evaluation(n_episodes=2, verbose=False)
+        exp.close()
+        ctrl.close()
+        assert metrics['average_length'] >= 240, (algo, metrics)
+
+
 def test_pretrained_mpsc_artifact_certifies():
     import os
 
