@@ -87,7 +87,7 @@ def measure_single_env(system, constrained, n_steps=2000):
     return sim_time / wall, steps / wall
 
 
-def measure_batched(system, constrained, batch=4096, n_steps=128):
+def measure_batched(system, constrained, batch=4096, n_steps=4096):
     """Batched fused rollout — the TPU-native operating point."""
     env = make(system, **_env_kwargs(system, constrained))
     func = env.func
@@ -110,7 +110,8 @@ def measure_batched(system, constrained, batch=4096, n_steps=128):
                 lambda f, s: jnp.where(
                     out.done.reshape((batch,) + (1,) * (s.ndim - 1)), f, s),
                 fresh, states)
-            return (states, key), out.reward
+            # Per-step reduction keeps the scan output O(T), not O(T x B).
+            return (states, key), out.reward.sum()
 
         (states, _), rewards = jax.lax.scan(body, (states, key), None,
                                             length=n_steps)
