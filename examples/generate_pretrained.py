@@ -45,22 +45,21 @@ def train_rl(algo, steps, sysdir='cartpole', system='cartpole'):
     print(f'{algo}/{sysdir}: saved {path}')
 
 
-def learn_mpsc():
-    from safe_control_gym_tpu.utils.registration import make
-    task_cfg = _load_yaml('mpsc', 'config_overrides', 'cartpole',
-                          'cartpole_stab.yaml')['task_config']
-    from safe_control_gym_tpu.utils.registration import get_config
+def learn_mpsc(sysdir='cartpole', system='cartpole'):
+    from safe_control_gym_tpu.utils.registration import get_config, make
+    task_cfg = _load_yaml('mpsc', 'config_overrides', sysdir,
+                          f'{sysdir}_stab.yaml')['task_config']
     sf_cfg = get_config('linear_mpsc')
-    sf_cfg.update(_load_yaml('mpsc', 'config_overrides', 'cartpole',
-                             'linear_mpsc_cartpole_stab.yaml')['sf_config'])
-    env_func = partial(make, 'cartpole', **task_cfg)
+    sf_cfg.update(_load_yaml('mpsc', 'config_overrides', sysdir,
+                             f'linear_mpsc_{sysdir}_stab.yaml')['sf_config'])
+    env_func = partial(make, system, **task_cfg)
     sf = make('linear_mpsc', env_func, **sf_cfg)
     sf.learn()
     out_dir = os.path.join(HERE, 'mpsc', 'models')
     os.makedirs(out_dir, exist_ok=True)
-    path = os.path.join(out_dir, 'mpsc_cartpole.pkl')
+    path = os.path.join(out_dir, f'mpsc_{system}.pkl')
     sf.save(path)
-    print(f'mpsc: saved {path}')
+    print(f'mpsc/{sysdir}: saved {path}')
 
 
 def train_safe_explorer(steps):
@@ -113,4 +112,5 @@ if __name__ == '__main__':
              system='quadrotor')
     train_safe_explorer(args.steps // 2)
     learn_mpsc()
+    learn_mpsc(sysdir='quadrotor_2D', system='quadrotor')
     learn_cbf_nn()
