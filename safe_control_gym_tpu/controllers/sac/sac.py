@@ -139,6 +139,31 @@ class SAC(BaseController):
 
         self._train_jit = jax.jit(train_phase)
 
+        def fused_phase(train_state, env_states, obs, buffer, key):
+            """K full (collect + train) iterations as ONE device program.
+
+            The dev tunnel charges tens of ms per dispatch; per-iteration
+            host round-trips dominated SAC wall-clock. Scanning the whole
+            iteration keeps the training loop on device end-to-end —
+            something the reference's torch loop cannot express at all.
+            """
+            def body(carry, k):
+                ts, env_states, obs, buffer = carry
+                kc, kt = jax.random.split(k)
+                env_states, obs, buffer, mrew = collect(
+                    ts[0]['actor'], env_states, obs, buffer, kc,
+                    jnp.asarray(False))
+                ts, losses = train_phase(ts, buffer, kt)
+                return (ts, env_states, obs, buffer), jnp.concatenate(
+                    [mrew[None], losses])
+            K = int(getattr(self, 'fused_iterations', 1))
+            keys = jax.random.split(key, K)
+            (train_state, env_states, obs, buffer), outs = jax.lax.scan(
+                body, (train_state, env_states, obs, buffer), keys)
+            return train_state, env_states, obs, buffer, outs.mean(axis=0)
+
+        self._fused_jit = jax.jit(fused_phase)
+
     # ------------------------------------------------------------------
     def reset(self):
         keys = jax.random.split(self._next_key(), self.N)
@@ -166,22 +191,36 @@ class SAC(BaseController):
         max_env_steps = int(self.max_env_steps)
         warm_up = int(self.warm_up_steps)
         steps_per_iter = self._steps_per_iter * self.N
+        fused_k = max(1, int(getattr(self, 'fused_iterations', 1)))
         best_eval = -np.inf
         while self.total_steps < max_env_steps:
             start = time.time()
-            random_phase = jnp.asarray(self.total_steps < warm_up)
-            (self._env_states, self._obs, self.buffer,
-             mean_rew) = self._collect_jit(self.agent.params['actor'],
-                                           self._env_states, self._obs,
-                                           self.buffer, self._next_key(),
-                                           random_phase)
-            results = {'mean_reward': float(mean_rew)}
-            if self.total_steps >= warm_up:
-                ts, losses = self._train_jit(self.agent.train_state(),
-                                             self.buffer, self._next_key())
+            if self.total_steps >= warm_up and fused_k > 1:
+                # K iterations per dispatch (see fused_phase).
+                (ts, self._env_states, self._obs, self.buffer,
+                 outs) = self._fused_jit(self.agent.train_state(),
+                                         self._env_states, self._obs,
+                                         self.buffer, self._next_key())
                 self.agent.set_train_state(ts)
-                results['policy_loss'] = float(losses[0])
-                results['critic_loss'] = float(losses[1])
+                results = {'mean_reward': float(outs[0]),
+                           'policy_loss': float(outs[1]),
+                           'critic_loss': float(outs[2])}
+                self.total_steps += steps_per_iter * (fused_k - 1)
+            else:
+                random_phase = jnp.asarray(self.total_steps < warm_up)
+                (self._env_states, self._obs, self.buffer,
+                 mean_rew) = self._collect_jit(self.agent.params['actor'],
+                                               self._env_states, self._obs,
+                                               self.buffer, self._next_key(),
+                                               random_phase)
+                results = {'mean_reward': float(mean_rew)}
+                if self.total_steps >= warm_up:
+                    ts, losses = self._train_jit(self.agent.train_state(),
+                                                 self.buffer,
+                                                 self._next_key())
+                    self.agent.set_train_state(ts)
+                    results['policy_loss'] = float(losses[0])
+                    results['critic_loss'] = float(losses[1])
             self.total_steps += steps_per_iter
             results['elapsed_time'] = time.time() - start
             if self.log_interval and self.total_steps % self.log_interval < steps_per_iter:
