@@ -152,6 +152,31 @@ class DDPG(BaseController):
 
         self._train_jit = jax.jit(train_phase)
 
+        def fused_phase(train_state, env_states, obs, buffer, ou_state, key,
+                        noise_std):
+            """K full (collect + train) iterations as ONE device program
+            (same rationale as SAC.fused_phase: per-iteration dispatch
+            round-trips dominate wall-clock through the remote tunnel)."""
+            def body(carry, k):
+                ts, env_states, obs, buffer, ou_state = carry
+                kc, kt = jax.random.split(k)
+                env_states, obs, buffer, ou_state, mrew = collect(
+                    ts[0]['actor'], env_states, obs, buffer, ou_state, kc,
+                    jnp.asarray(False), noise_std)
+                ts, losses = train_phase(ts, buffer, kt)
+                return (ts, env_states, obs, buffer, ou_state), \
+                    jnp.concatenate([mrew[None], losses])
+            K = int(getattr(self, 'fused_iterations', 1))
+            keys = jax.random.split(key, K)
+            (train_state, env_states, obs, buffer, ou_state), outs = \
+                jax.lax.scan(body,
+                             (train_state, env_states, obs, buffer, ou_state),
+                             keys)
+            return (train_state, env_states, obs, buffer, ou_state,
+                    outs.mean(axis=0))
+
+        self._fused_jit = jax.jit(fused_phase)
+
     # ------------------------------------------------------------------
     def reset(self):
         keys = jax.random.split(self._next_key(), self.N)
@@ -179,22 +204,36 @@ class DDPG(BaseController):
         max_env_steps = int(self.max_env_steps)
         warm_up = int(self.warm_up_steps)
         steps_per_iter = self._steps_per_iter * self.N
+        fused_k = max(1, int(getattr(self, 'fused_iterations', 1)))
         while self.total_steps < max_env_steps:
             start = time.time()
             noise_std = float(self._std_schedule(steps_per_iter))
-            (self._env_states, self._obs, self.buffer, self._ou_state,
-             mean_rew) = self._collect_jit(
-                self.agent.params['actor'], self._env_states, self._obs,
-                self.buffer, self._ou_state, self._next_key(),
-                jnp.asarray(self.total_steps < warm_up),
-                jnp.float32(noise_std))
-            results = {'mean_reward': float(mean_rew)}
-            if self.total_steps >= warm_up:
-                ts, losses = self._train_jit(self.agent.train_state(),
-                                             self.buffer, self._next_key())
+            if self.total_steps >= warm_up and fused_k > 1:
+                (ts, self._env_states, self._obs, self.buffer,
+                 self._ou_state, outs) = self._fused_jit(
+                    self.agent.train_state(), self._env_states, self._obs,
+                    self.buffer, self._ou_state, self._next_key(),
+                    jnp.float32(noise_std))
                 self.agent.set_train_state(ts)
-                results['policy_loss'] = float(losses[0])
-                results['critic_loss'] = float(losses[1])
+                results = {'mean_reward': float(outs[0]),
+                           'policy_loss': float(outs[1]),
+                           'critic_loss': float(outs[2])}
+                self.total_steps += steps_per_iter * (fused_k - 1)
+            else:
+                (self._env_states, self._obs, self.buffer, self._ou_state,
+                 mean_rew) = self._collect_jit(
+                    self.agent.params['actor'], self._env_states, self._obs,
+                    self.buffer, self._ou_state, self._next_key(),
+                    jnp.asarray(self.total_steps < warm_up),
+                    jnp.float32(noise_std))
+                results = {'mean_reward': float(mean_rew)}
+                if self.total_steps >= warm_up:
+                    ts, losses = self._train_jit(self.agent.train_state(),
+                                                 self.buffer,
+                                                 self._next_key())
+                    self.agent.set_train_state(ts)
+                    results['policy_loss'] = float(losses[0])
+                    results['critic_loss'] = float(losses[1])
             self.total_steps += steps_per_iter
             results['elapsed_time'] = time.time() - start
             if self.log_interval and self.total_steps % self.log_interval < steps_per_iter:
