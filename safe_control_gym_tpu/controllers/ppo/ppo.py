@@ -79,6 +79,7 @@ class PPO(BaseController):
         self.logger = ExperimentLogger(output_dir,
                                        use_tensorboard=getattr(self, 'tensorboard', False))
         self._rollout_jit = jax.jit(self._make_rollout())
+        self._fused_jit = jax.jit(self._make_fused())
         self._env_states = None
         self._obs = None
 
@@ -172,6 +173,41 @@ class PPO(BaseController):
 
         return rollout
 
+    def _make_fused(self):
+        """K complete (rollout -> epochs x minibatch update) iterations as
+        ONE device program.
+
+        A `lax.scan` over the full PPO iteration removes the per-iteration
+        host round-trips (the dev tunnel charges tens of ms per dispatch);
+        normalizer states, env states, and optimizer states all live in
+        the scan carry. Per-iteration scalars come back stacked for
+        logging.
+        """
+        rollout = self._make_rollout()
+        update = self.agent._make_update()
+
+        def fused(params, a_state, c_state, env_states, obs, obs_norm,
+                  ret_state, key):
+            def body(carry, k):
+                (params, a_state, c_state, env_states, obs, obs_norm,
+                 ret_state) = carry
+                kr, ku = jax.random.split(k)
+                (env_states, obs, obs_norm, ret_state, _, batch,
+                 stats) = rollout(params, env_states, obs, obs_norm,
+                                  ret_state, kr)
+                params, a_state, c_state, results = update(
+                    params, a_state, c_state, batch, ku)
+                return (params, a_state, c_state, env_states, obs, obs_norm,
+                        ret_state), {**stats, **results}
+            K = max(1, int(getattr(self, 'fused_iterations', 1)))
+            keys = jax.random.split(key, K)
+            carry, outs = jax.lax.scan(
+                body, (params, a_state, c_state, env_states, obs, obs_norm,
+                       ret_state), keys)
+            return carry, jax.tree.map(lambda x: x.mean(), outs)
+
+        return fused
+
     # ------------------------------------------------------------------
     def reset(self):
         """Prepare for training or evaluation (ppo.py:83-110 analog)."""
@@ -206,20 +242,35 @@ class PPO(BaseController):
         steps_per_iter = self.N * self.T
         best_eval_return = -np.inf
         ep_returns = deque(maxlen=int(self.deque_size))
+        fused_k = max(1, int(getattr(self, 'fused_iterations', 1)))
         while self.total_steps < max_env_steps:
             start = time.time()
             obs_norm = self.obs_norm_state if self.norm_obs else rms_init(
                 (self.env.observation_space.shape[0],))
             ret_state = self.ret_norm_state if self.norm_reward else ret_init(self.N)
-            (self._env_states, self._obs, obs_norm, ret_state, _, batch,
-             stats) = self._rollout_jit(self.agent.params, self._env_states,
-                                        self._obs, obs_norm, ret_state,
-                                        self._next_key())
+            if fused_k > 1:
+                ((params, a_state, c_state, self._env_states, self._obs,
+                  obs_norm, ret_state), outs) = self._fused_jit(
+                    self.agent.params, self.agent.actor_opt_state,
+                    self.agent.critic_opt_state, self._env_states, self._obs,
+                    obs_norm, ret_state, self._next_key())
+                self.agent.params = params
+                self.agent.actor_opt_state = a_state
+                self.agent.critic_opt_state = c_state
+                results = {k: float(v) for k, v in outs.items()}
+                stats = {}
+                self.total_steps += steps_per_iter * (fused_k - 1)
+            else:
+                (self._env_states, self._obs, obs_norm, ret_state, _, batch,
+                 stats) = self._rollout_jit(self.agent.params,
+                                            self._env_states,
+                                            self._obs, obs_norm, ret_state,
+                                            self._next_key())
+                results = self.agent.update(batch, self._next_key())
             if self.norm_obs:
                 self.obs_norm_state = obs_norm
             if self.norm_reward:
                 self.ret_norm_state = ret_state
-            results = self.agent.update(batch, self._next_key())
             self.total_steps += steps_per_iter
             results.update({k: float(v) for k, v in stats.items()})
             results['elapsed_time'] = time.time() - start
