@@ -44,7 +44,18 @@ def admm_qp(P: jax.Array, q: jax.Array, A: jax.Array, l: jax.Array,
 
     All arrays dense; returns a :class:`QPSolution`. ``rho`` is scaled per
     row: equality rows (l == u) get 1e3 x rho, the standard OSQP heuristic.
+
+    TPU note: the body runs under full-f32 matmul precision. The MXU's
+    default bfloat16 inputs stall ADMM at ~1e-1 primal residual (each
+    A@x / KKT product injects ~1e-2 relative error, larger than the
+    per-iteration contraction); 'highest' restores CPU-identical
+    convergence at a modest MXU cost on these tiny matrices.
     """
+    with jax.default_matmul_precision('highest'):
+        return _admm_qp_body(P, q, A, l, u, x0, y0, rho, sigma, alpha, iters)
+
+
+def _admm_qp_body(P, q, A, l, u, x0, y0, rho, sigma, alpha, iters):
     n = P.shape[0]
     m = A.shape[0]
     x = jnp.zeros(n) if x0 is None else x0
