@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from safe_control_gym_tpu.controllers.lqr.lqr import LQR
+from safe_control_gym_tpu.math.linalg import full_matmul_precision
 from safe_control_gym_tpu.envs.benchmark_env import Task
 
 __all__ = ['iLQR']
@@ -46,7 +47,8 @@ class iLQR(LQR):
         self.gains_fb_best = None
         self.lamb = 1.0
         self.update_unstable = False
-        self._backward_jit = jax.jit(self._make_backward())
+        self._backward_jit = jax.jit(
+            full_matmul_precision(self._make_backward()))
 
     # ------------------------------------------------------------------
     def _make_backward(self):

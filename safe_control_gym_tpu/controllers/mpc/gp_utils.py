@@ -24,6 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from safe_control_gym_tpu.math.linalg import full_matmul_precision
+
 __all__ = ['cov_se_ard', 'cov_matern52_ard', 'GaussianProcess',
            'GaussianProcessCollection', 'kmeans_centriods']
 
@@ -82,6 +84,7 @@ class GaussianProcess:
         opt = optax.adam(learning_rate)
 
         @jax.jit
+        @full_matmul_precision
         def run(params):
             state = opt.init(params)
 
@@ -114,6 +117,7 @@ class GaussianProcess:
         self._K_inv = jax.scipy.linalg.cho_solve((L, True),
                                                  jnp.eye(self.X.shape[0]))
 
+    @full_matmul_precision
     def predict(self, x_star, return_pred=False):
         """Posterior mean + variance (gp_utils.py:1092-1129)."""
         x_star = jnp.atleast_2d(jnp.asarray(x_star, jnp.float32))
@@ -138,7 +142,7 @@ class GaussianProcess:
             k = kernel_fn(jnp.atleast_2d(z), X, ls, sv)
             return (k @ alpha)[0]
 
-        return mean_fn
+        return full_matmul_precision(mean_fn)
 
     def prediction_jacobian(self, z):
         """d mean / d z (gp_utils.py:1131-1145)."""

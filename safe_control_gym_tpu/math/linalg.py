@@ -26,13 +26,14 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
+    'full_matmul_precision',
     'expm', 'solve_dare', 'solve_care', 'discretize_linear_system',
     'get_cost_weight_matrix', 'compute_lqr_gain',
 ]
 
 
 
-def _full_matmul_precision(fn):
+def full_matmul_precision(fn):
     """TPU guard: run fn under full-f32 matmul precision.
 
     The MXU's default bfloat16 operand rounding costs ~1e-2 relative error
@@ -49,7 +50,7 @@ def _full_matmul_precision(fn):
     return wrapper
 
 
-@_full_matmul_precision
+@full_matmul_precision
 def expm(A: jax.Array, order: int = 8, squarings: int = 8) -> jax.Array:
     """Matrix exponential via scaling-and-squaring with a Taylor/Padé core.
 
@@ -73,7 +74,7 @@ def expm(A: jax.Array, order: int = 8, squarings: int = 8) -> jax.Array:
     return jax.lax.fori_loop(0, squarings, square, result)
 
 
-@_full_matmul_precision
+@full_matmul_precision
 def solve_dare(A: jax.Array, B: jax.Array, Q: jax.Array, R: jax.Array,
                iters: int = 60) -> jax.Array:
     """Discrete algebraic Riccati equation solver.
@@ -109,7 +110,7 @@ def solve_dare(A: jax.Array, B: jax.Array, Q: jax.Array, R: jax.Array,
     return 0.5 * (H + H.T)
 
 
-@_full_matmul_precision
+@full_matmul_precision
 def solve_care(A: jax.Array, B: jax.Array, Q: jax.Array, R: jax.Array,
                iters: int = 40) -> jax.Array:
     """Continuous ARE via the matrix sign-function of the Hamiltonian.
@@ -144,7 +145,7 @@ def solve_care(A: jax.Array, B: jax.Array, Q: jax.Array, R: jax.Array,
     return 0.5 * (P + P.T)
 
 
-@_full_matmul_precision
+@full_matmul_precision
 def discretize_linear_system(A: jax.Array, B: jax.Array, dt: float,
                              exact: bool = False):
     """Discretize continuous (A, B) with timestep dt.
@@ -180,7 +181,7 @@ def get_cost_weight_matrix(weights, dim: int) -> np.ndarray:
     raise ValueError('Wrong dimension for cost weights.')
 
 
-@_full_matmul_precision
+@full_matmul_precision
 def compute_lqr_gain(A: jax.Array, B: jax.Array, Q: jax.Array, R: jax.Array,
                      discrete: bool = True) -> jax.Array:
     """LQR feedback gain K such that u = -K (x - x_goal).

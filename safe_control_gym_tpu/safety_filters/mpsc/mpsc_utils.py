@@ -28,6 +28,7 @@ import numpy as np
 import optax
 
 from safe_control_gym_tpu.envs.benchmark_env import Task
+from safe_control_gym_tpu.math.linalg import full_matmul_precision
 from safe_control_gym_tpu.envs.constraints import (BoundedConstraint,
                                                    LinearConstraint)
 
@@ -90,6 +91,7 @@ def compute_RPI_set(Acl, w, tau, iters: int = 3000, lr: float = 5e-2,
     opt = optax.adam(lr)
 
     @jax.jit
+    @full_matmul_precision
     def run(L0):
         state = opt.init(L0)
 
