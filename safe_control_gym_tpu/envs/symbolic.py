@@ -38,11 +38,16 @@ from safe_control_gym_tpu.envs.dynamics import rk4_step
 __all__ = ['AnalyticModel']
 
 
+_KWARG_ALIASES = {'x0': 'x', 'p': 'u'}  # cs.integrator call style (x0=, p=)
+
+
 def _positional_or_kw(fn, names):
-    """Wrap fn(*arrays) so it also accepts the reference's kwargs style."""
+    """Wrap fn(*arrays) so it also accepts the reference's kwargs style
+    (including the CasADi-integrator aliases fd_func(x0=..., p=...))."""
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
         if kwargs:
+            kwargs = {_KWARG_ALIASES.get(k, k): v for k, v in kwargs.items()}
             args = args + tuple(jnp.atleast_1d(jnp.asarray(kwargs[n], dtype=jnp.float32).squeeze())
                                 for n in names[len(args):])
         else:
