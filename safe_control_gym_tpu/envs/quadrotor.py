@@ -236,6 +236,7 @@ class Quadrotor(BenchmarkEnv):
         self._setup_constraints()
         self._setup_disturbances()
         self._compile_samplers()
+        self._install_pallas_advance()
         self._build_functional()
 
     # ------------------------------------------------------------------
@@ -569,6 +570,55 @@ class Quadrotor(BenchmarkEnv):
 
         out, _ = jax.lax.scan(substep, x, None, length=self.PYB_STEPS_PER_CTRL)
         return out
+
+    def _install_pallas_advance(self):
+        """Route the batched 2D-quad physics advance through the fused
+        Pallas kernel (same custom_vmap mechanism and gating as
+        CartPole._install_pallas_advance; plain 'pyb' physics only — the
+        aero-augmented modes keep the XLA scan)."""
+        if (not getattr(self, 'pallas_physics', True)
+                or jax.default_backend() != 'tpu'
+                or self.RANDOMIZED_INERTIAL_PROP
+                or self.QUAD_TYPE != QuadType.TWO_D
+                or self.PHYSICS != 'pyb'):
+            return
+        try:
+            from jax import custom_batching
+
+            from safe_control_gym_tpu.ops.pallas_kernels import \
+                quad2d_advance_pallas
+        except Exception:
+            return
+        n_sub = int(self.PYB_STEPS_PER_CTRL)
+        dt = float(self.PYB_TIMESTEP)
+        single = self._advance_pure
+        motor_forces = self._motor_forces
+
+        adv = custom_batching.custom_vmap(
+            lambda x, u, f, p: single(x, u, f, p))
+
+        @adv.def_vmap
+        def _rule(axis_size, in_batched, x, u, f, params):
+            def bcast(v, b):
+                return v if b else jax.tree.map(
+                    lambda l: jnp.broadcast_to(l, (axis_size,) + jnp.shape(l)), v)
+            x = bcast(x, in_batched[0])
+            u = bcast(u, in_batched[1])
+            f = bcast(f, in_batched[2])
+            params_b = bcast(params, in_batched[3])
+            forces, _, _ = jax.vmap(motor_forces)(u, params_b)
+            t1 = forces[:, 0] + forces[:, 3]
+            t2 = forces[:, 1] + forces[:, 2]
+            p0 = jax.tree.map(lambda l: l[0], params_b)
+            pv = jnp.stack([p0.mass, p0.Iyy, p0.arm_length,
+                            p0.gravity]).astype(jnp.float32)
+            B = x.shape[0]
+            block = max(128, min(1024, ((B + 127) // 128) * 128))
+            out = quad2d_advance_pallas(x, t1, t2, f, pv, n_sub, dt,
+                                        block_b=block)
+            return out, True
+
+        self._advance_pure = adv
 
     def _sim_pos_rates(self, x, p: QuadParams):
         """Position-coordinate rates from (possibly updated) velocities."""

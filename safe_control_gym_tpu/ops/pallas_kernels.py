@@ -25,7 +25,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ['cartpole_advance_pallas']
+__all__ = ['cartpole_advance_pallas', 'quad2d_advance_pallas']
 
 
 def _cartpole_kernel(params_ref, in_ref, out_ref, *, n_substeps, dt):
@@ -115,3 +115,99 @@ def cartpole_advance_pallas(states, forces, tab_forces, params,
                                memory_space=pltpu.VMEM),
     )(params2d, stacked)
     return out[0:4, :B].T
+
+
+def _quad2d_kernel(params_ref, in_ref, out_ref, *, n_substeps, dt):
+    """Fused 2D-quadrotor control step: n_substeps semi-implicit updates.
+
+    Rows: 0..5 = [x, x_dot, z, z_dot, theta, theta_dot], 6 = T1 (front
+    rotor-pair thrust), 7 = T2, 8..9 = world disturbance force (fx, fz),
+    10..15 = padding. Mirrors Quadrotor._sim_xdot for the plain 'pyb'
+    physics mode (quadrotor.py:476-498 of this repo; reference
+    base_aviary.py:364-384).
+    """
+    m = params_ref[0, 0]
+    Iyy = params_ref[0, 1]
+    L = params_ref[0, 2]
+    g = params_ref[0, 3]
+
+    x = in_ref[0, :]
+    xd = in_ref[1, :]
+    z = in_ref[2, :]
+    zd = in_ref[3, :]
+    th = in_ref[4, :]
+    thd = in_ref[5, :]
+    T1 = in_ref[6, :]
+    T2 = in_ref[7, :]
+    fx = in_ref[8, :]
+    fz = in_ref[9, :]
+
+    total = T1 + T2
+    # Torque is state-independent: constant angular acceleration.
+    th_dd = L * (T2 - T1) / Iyy / jnp.sqrt(2.0)
+
+    for _ in range(n_substeps):
+        sin_t = jnp.sin(th)
+        cos_t = jnp.cos(th)
+        x_dd = sin_t * total / m + fx / m
+        z_dd = cos_t * total / m - g + fz / m
+        xd = xd + dt * x_dd
+        zd = zd + dt * z_dd
+        thd = thd + dt * th_dd
+        x = x + dt * xd
+        z = z + dt * zd
+        th = th + dt * thd
+
+    out_ref[0, :] = x
+    out_ref[1, :] = xd
+    out_ref[2, :] = z
+    out_ref[3, :] = zd
+    out_ref[4, :] = th
+    out_ref[5, :] = thd
+    out_ref[6, :] = T1
+    out_ref[7, :] = T2
+    out_ref[8, :] = fx
+    out_ref[9, :] = fz
+    out_ref[10, :] = in_ref[10, :]
+    out_ref[11, :] = in_ref[11, :]
+    out_ref[12, :] = in_ref[12, :]
+    out_ref[13, :] = in_ref[13, :]
+    out_ref[14, :] = in_ref[14, :]
+    out_ref[15, :] = in_ref[15, :]
+
+
+@functools.partial(jax.jit, static_argnames=('n_substeps', 'dt', 'block_b'))
+def quad2d_advance_pallas(states, t1, t2, dyn_forces, params,
+                          n_substeps: int, dt: float, block_b: int = 1024):
+    """Advance a batch of 2D quadrotors by one control step.
+
+    Args:
+        states: (B, 6) f32 [x, x_dot, z, z_dot, theta, theta_dot].
+        t1/t2: (B,) f32 rotor-pair thrusts (held over the control step).
+        dyn_forces: (B, 2) f32 world-frame disturbance (fx, fz).
+        params: (4,) f32 [mass, Iyy, arm_length, gravity].
+    """
+    B = states.shape[0]
+    pad = (-B) % block_b
+    Bp = B + pad
+    stacked = jnp.zeros((16, Bp), jnp.float32)
+    stacked = stacked.at[0:6, :B].set(states.T)
+    stacked = stacked.at[6, :B].set(t1)
+    stacked = stacked.at[7, :B].set(t2)
+    stacked = stacked.at[8:10, :B].set(dyn_forces.T)
+    params2d = params.reshape(1, 4).astype(jnp.float32)
+
+    grid = (Bp // block_b,)
+    out = pl.pallas_call(
+        functools.partial(_quad2d_kernel, n_substeps=n_substeps, dt=dt),
+        out_shape=jax.ShapeDtypeStruct((16, Bp), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((16, block_b), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((16, block_b), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+    )(params2d, stacked)
+    return out[0:6, :B].T
