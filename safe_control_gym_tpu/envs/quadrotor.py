@@ -575,7 +575,10 @@ class Quadrotor(BenchmarkEnv):
         """Route the batched 2D-quad physics advance through the fused
         Pallas kernel (same custom_vmap mechanism and gating as
         CartPole._install_pallas_advance; plain 'pyb' physics only — the
-        aero-augmented modes keep the XLA scan)."""
+        aero-augmented modes keep the XLA scan). The THREE_D kernel exists
+        (ops/pallas_kernels.quad3d_advance_pallas) but measures neutral vs
+        XLA (92 vs 96M steps/s — the trig-heavy substep is equally
+        VPU-bound either way), so it is not auto-installed."""
         if (not getattr(self, 'pallas_physics', True)
                 or jax.default_backend() != 'tpu'
                 or self.RANDOMIZED_INERTIAL_PROP
@@ -585,14 +588,15 @@ class Quadrotor(BenchmarkEnv):
         try:
             from jax import custom_batching
 
-            from safe_control_gym_tpu.ops.pallas_kernels import \
-                quad2d_advance_pallas
+            from safe_control_gym_tpu.ops.pallas_kernels import (
+                quad2d_advance_pallas, quad3d_advance_pallas)
         except Exception:
             return
         n_sub = int(self.PYB_STEPS_PER_CTRL)
         dt = float(self.PYB_TIMESTEP)
         single = self._advance_pure
         motor_forces = self._motor_forces
+        three_d = self.QUAD_TYPE == QuadType.THREE_D
 
         adv = custom_batching.custom_vmap(
             lambda x, u, f, p: single(x, u, f, p))
@@ -606,16 +610,22 @@ class Quadrotor(BenchmarkEnv):
             u = bcast(u, in_batched[1])
             f = bcast(f, in_batched[2])
             params_b = bcast(params, in_batched[3])
-            forces, _, _ = jax.vmap(motor_forces)(u, params_b)
-            t1 = forces[:, 0] + forces[:, 3]
-            t2 = forces[:, 1] + forces[:, 2]
+            forces, z_torque, _ = jax.vmap(motor_forces)(u, params_b)
             p0 = jax.tree.map(lambda l: l[0], params_b)
-            pv = jnp.stack([p0.mass, p0.Iyy, p0.arm_length,
-                            p0.gravity]).astype(jnp.float32)
             B = x.shape[0]
             block = max(128, min(1024, ((B + 127) // 128) * 128))
-            out = quad2d_advance_pallas(x, t1, t2, f, pv, n_sub, dt,
-                                        block_b=block)
+            if three_d:
+                pv = jnp.stack([p0.mass, p0.Ixx, p0.Iyy, p0.Izz,
+                                p0.arm_length, p0.gravity]).astype(jnp.float32)
+                out = quad3d_advance_pallas(x, forces, z_torque, f, pv,
+                                            n_sub, dt, block_b=block)
+            else:
+                t1 = forces[:, 0] + forces[:, 3]
+                t2 = forces[:, 1] + forces[:, 2]
+                pv = jnp.stack([p0.mass, p0.Iyy, p0.arm_length,
+                                p0.gravity]).astype(jnp.float32)
+                out = quad2d_advance_pallas(x, t1, t2, f, pv, n_sub, dt,
+                                            block_b=block)
             return out, True
 
         self._advance_pure = adv

@@ -25,7 +25,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ['cartpole_advance_pallas', 'quad2d_advance_pallas']
+__all__ = ['cartpole_advance_pallas', 'quad2d_advance_pallas', 'quad3d_advance_pallas']
 
 
 def _cartpole_kernel(params_ref, in_ref, out_ref, *, n_substeps, dt):
@@ -211,3 +211,134 @@ def quad2d_advance_pallas(states, t1, t2, dyn_forces, params,
                                memory_space=pltpu.VMEM),
     )(params2d, stacked)
     return out[0:6, :B].T
+
+
+def _quad3d_kernel(params_ref, in_ref, out_ref, *, n_substeps, dt):
+    """Fused 3D-quadrotor control step (plain 'pyb' physics).
+
+    Rows: 0..11 = [x, x_dot, y, y_dot, z, z_dot, phi, theta, psi, p, q, r],
+    12..15 = per-motor forces (held), 16 = z torque, 17..19 = world
+    disturbance force, 20..23 = padding. Mirrors Quadrotor._sim_xdot /
+    _sim_pos_rates for QuadType.THREE_D (quadrotor.py:499-541 of this
+    repo; reference quadrotor.py:513-570, Luis & Le Ny 2016): R = Rz Ry Rx
+    thrust direction, diagonal-J Euler equations, ZYX Euler-rate map W.
+    Semi-implicit: velocities/body-rates first; positions advance with the
+    new linear velocities; Euler angles advance with W(old angles) @ new
+    body rates.
+    """
+    m = params_ref[0, 0]
+    Ixx = params_ref[0, 1]
+    Iyy = params_ref[0, 2]
+    Izz = params_ref[0, 3]
+    L = params_ref[0, 4]
+    g = params_ref[0, 5]
+
+    x = in_ref[0, :]
+    xd = in_ref[1, :]
+    y = in_ref[2, :]
+    yd = in_ref[3, :]
+    z = in_ref[4, :]
+    zd = in_ref[5, :]
+    phi = in_ref[6, :]
+    th = in_ref[7, :]
+    psi = in_ref[8, :]
+    p = in_ref[9, :]
+    q = in_ref[10, :]
+    r = in_ref[11, :]
+    f0 = in_ref[12, :]
+    f1 = in_ref[13, :]
+    f2 = in_ref[14, :]
+    f3 = in_ref[15, :]
+    zt = in_ref[16, :]
+    fx = in_ref[17, :]
+    fy = in_ref[18, :]
+    fz = in_ref[19, :]
+
+    total = f0 + f1 + f2 + f3
+    l_sq2 = L / jnp.sqrt(2.0)
+    Mx = l_sq2 * (f0 + f1 - f2 - f3)
+    My = l_sq2 * (-f0 + f1 + f2 - f3)
+
+    for _ in range(n_substeps):
+        sphi, cphi = jnp.sin(phi), jnp.cos(phi)
+        sth, cth = jnp.sin(th), jnp.cos(th)
+        spsi, cpsi = jnp.sin(psi), jnp.cos(psi)
+        # Thrust direction = third column of Rz(psi) Ry(th) Rx(phi).
+        x_dd = (cphi * sth * cpsi + sphi * spsi) * total / m + fx / m
+        y_dd = (cphi * sth * spsi - sphi * cpsi) * total / m + fy / m
+        z_dd = cphi * cth * total / m - g + fz / m
+        # Euler equations with diagonal inertia.
+        p_d = (Mx - q * r * (Izz - Iyy)) / Ixx
+        q_d = (My - p * r * (Ixx - Izz)) / Iyy
+        r_d = (zt - p * q * (Iyy - Ixx)) / Izz
+        # Velocities / body rates first (semi-implicit).
+        xd = xd + dt * x_dd
+        yd = yd + dt * y_dd
+        zd = zd + dt * z_dd
+        p = p + dt * p_d
+        q = q + dt * q_d
+        r = r + dt * r_d
+        # Positions with NEW velocities; angles with W(old) @ new rates.
+        x = x + dt * xd
+        y = y + dt * yd
+        z = z + dt * zd
+        tth = sth / cth
+        phi_d = p + sphi * tth * q + cphi * tth * r
+        th_d = cphi * q - sphi * r
+        psi_d = sphi / cth * q + cphi / cth * r
+        phi = phi + dt * phi_d
+        th = th + dt * th_d
+        psi = psi + dt * psi_d
+
+    out_ref[0, :] = x
+    out_ref[1, :] = xd
+    out_ref[2, :] = y
+    out_ref[3, :] = yd
+    out_ref[4, :] = z
+    out_ref[5, :] = zd
+    out_ref[6, :] = phi
+    out_ref[7, :] = th
+    out_ref[8, :] = psi
+    out_ref[9, :] = p
+    out_ref[10, :] = q
+    out_ref[11, :] = r
+    for i in range(12, 24):
+        out_ref[i, :] = in_ref[i, :]
+
+
+@functools.partial(jax.jit, static_argnames=('n_substeps', 'dt', 'block_b'))
+def quad3d_advance_pallas(states, forces, z_torque, dyn_forces, params,
+                          n_substeps: int, dt: float, block_b: int = 1024):
+    """Advance a batch of 3D quadrotors by one control step.
+
+    Args:
+        states: (B, 12) f32 rigid-body state.
+        forces: (B, 4) f32 per-motor forces (held over the control step).
+        z_torque: (B,) f32 net yaw torque.
+        dyn_forces: (B, 3) f32 world-frame disturbance force.
+        params: (6,) f32 [mass, Ixx, Iyy, Izz, arm_length, gravity].
+    """
+    B = states.shape[0]
+    pad = (-B) % block_b
+    Bp = B + pad
+    stacked = jnp.zeros((24, Bp), jnp.float32)
+    stacked = stacked.at[0:12, :B].set(states.T)
+    stacked = stacked.at[12:16, :B].set(forces.T)
+    stacked = stacked.at[16, :B].set(z_torque)
+    stacked = stacked.at[17:20, :B].set(dyn_forces.T)
+    params2d = params.reshape(1, 6).astype(jnp.float32)
+
+    grid = (Bp // block_b,)
+    out = pl.pallas_call(
+        functools.partial(_quad3d_kernel, n_substeps=n_substeps, dt=dt),
+        out_shape=jax.ShapeDtypeStruct((24, Bp), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 6), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((24, block_b), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((24, block_b), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+    )(params2d, stacked)
+    return out[0:12, :B].T
