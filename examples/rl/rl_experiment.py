@@ -26,9 +26,11 @@ def run(gui=False, plot=False, n_episodes=1, n_steps=None,
                 **config.algo_config)
 
     # Load model if a checkpoint exists (reference loads
-    # examples/rl/models/<algo>/model_latest.pt).
+    # examples/rl/models/<algo>/<algo>_model_<system>_<task>.pt); tracking
+    # tasks get a '_track' suffixed artifact.
+    suffix = ('_track' if task_config.get('task') == 'traj_tracking' else '')
     model_path = os.path.join(curr_path, 'models', config.algo,
-                              f'model_latest_{config.task}.pt')
+                              f'model_latest_{config.task}{suffix}.pt')
     if os.path.exists(model_path):
         ctrl.load(model_path)
     env = env_func(gui=gui)

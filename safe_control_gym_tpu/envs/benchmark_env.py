@@ -202,8 +202,10 @@ class BenchmarkEnv(gym.Env):
                  adversary_disturbance=None,
                  adversary_disturbance_offset: float = 0.0,
                  adversary_disturbance_scale: float = 0.01,
+                 pallas_physics: bool = True,
                  **kwargs):
         # Unique id per instance (benchmark_env.py:125-127).
+        self.pallas_physics = bool(pallas_physics)
         self.idx = BenchmarkEnv._idx_counter
         BenchmarkEnv._idx_counter += 1
         self.GUI = gui  # accepted for config parity; no rendering backend

@@ -575,14 +575,16 @@ class Quadrotor(BenchmarkEnv):
         """Route the batched 2D-quad physics advance through the fused
         Pallas kernel (same custom_vmap mechanism and gating as
         CartPole._install_pallas_advance; plain 'pyb' physics only — the
-        aero-augmented modes keep the XLA scan). The THREE_D kernel exists
-        (ops/pallas_kernels.quad3d_advance_pallas) but measures neutral vs
-        XLA (92 vs 96M steps/s — the trig-heavy substep is equally
-        VPU-bound either way), so it is not auto-installed."""
+        aero-augmented modes keep the XLA scan). The THREE_D kernel is a
+        ~33x win (92M vs 2.9M steps/s: under vmap the XLA path's per-
+        substep 3x3 rotation/inertia matmuls become batched dots that map
+        terribly onto the hardware, while the kernel keeps everything in
+        VMEM lanes). Numerical deviation vs the scan path is ~2e-5 per
+        control step (analytic R·e3 column vs matmul ordering)."""
         if (not getattr(self, 'pallas_physics', True)
                 or jax.default_backend() != 'tpu'
                 or self.RANDOMIZED_INERTIAL_PROP
-                or self.QUAD_TYPE != QuadType.TWO_D
+                or self.QUAD_TYPE not in (QuadType.TWO_D, QuadType.THREE_D)
                 or self.PHYSICS != 'pyb'):
             return
         try:

@@ -58,6 +58,11 @@ def _env_kwargs(system, constrained):
                   init_state={'init_z': 1.0},
                   task_info={'stabilization_goal': [0, 1],
                              'stabilization_goal_tolerance': 0.0})
+    if system == 'quadrotor_3D':
+        kw.update(quad_type=3, randomized_init=False,
+                  init_state={'init_z': 1.0},
+                  task_info={'stabilization_goal': [0, 0, 1],
+                             'stabilization_goal_tolerance': 0.0})
     if constrained:
         kw.update(constraints=CONSTRAINTS[system],
                   disturbances=DISTURBANCES)
@@ -66,7 +71,7 @@ def _env_kwargs(system, constrained):
 
 def measure_single_env(system, constrained, n_steps=2000):
     """Single env, host-loop stepping — the reference's exact protocol."""
-    env = make(system, **_env_kwargs(system, constrained))
+    env = make(system.replace('_3D', ''), **_env_kwargs(system, constrained))
     env.reset()
     rng = np.random.default_rng(0)
     lo, hi = env.action_space.low, env.action_space.high
@@ -89,7 +94,7 @@ def measure_single_env(system, constrained, n_steps=2000):
 
 def measure_batched(system, constrained, batch=4096, n_steps=4096):
     """Batched fused rollout — the TPU-native operating point."""
-    env = make(system, **_env_kwargs(system, constrained))
+    env = make(system.replace('_3D', ''), **_env_kwargs(system, constrained))
     func = env.func
     reset_v = jax.vmap(func.reset)
     step_v = jax.vmap(func.step)
@@ -142,9 +147,12 @@ def run(batch=4096, single_steps=2000, skip_single=False):
     # (JAX_PLATFORMS=cpu / jax_platforms config) for an apples-to-apples
     # host number, and the batched protocol on the TPU.
     rows = []
-    for system in ('cartpole', 'quadrotor'):
-        for constrained in (False, True):
-            ref = REFERENCE_SPEEDUPS[(system, constrained)]
+    # quadrotor_3D has no published reference row — shown for completeness.
+    for system in ('cartpole', 'quadrotor', 'quadrotor_3D'):
+        for constrained in ((False, True) if system != 'quadrotor_3D'
+                            else (False,)):
+            ref = REFERENCE_SPEEDUPS.get((system, constrained),
+                                         float('nan'))
             if skip_single:
                 su1, sps1 = float('nan'), float('nan')
             else:
@@ -153,11 +161,15 @@ def run(batch=4096, single_steps=2000, skip_single=False):
             sub, spsb = measure_batched(system, constrained, batch=batch)
             rows.append((system, constrained, ref, su1, sps1, sub, spsb))
     print('| system | constraints+dist | reference speed-up | single-env '
-          'speed-up | single steps/s | batched speed-up | batched steps/s |')
-    print('|---|---|---|---|---|---|---|')
+          'speed-up | batched speed-up | batched steps/s |')
+    print('|---|---|---|---|---|---|')
+    import math
     for system, c, ref, su1, sps1, sub, spsb in rows:
-        print(f'| {system} | {"yes" if c else "no"} | {ref:.2f}x | '
-              f'{su1:.1f}x | {sps1:,.0f} | {sub:,.0f}x | {spsb:,.0f} |')
+        ref_s = 'n/a' if math.isnan(ref) else f'{ref:.2f}x'
+        su1_s = ('n/a' if math.isnan(su1)
+                 else f'{su1:.1f}x ({sps1:,.0f}/s)')
+        print(f'| {system} | {"yes" if c else "no"} | {ref_s} | '
+              f'{su1_s} | {sub:,.0f}x | {spsb:,.0f} |')
     return rows
 
 
