@@ -303,4 +303,5 @@ class DDPG(BaseController):
         self.agent.load_state_dict(state['agent'])
         self.total_steps = int(state.get('total_steps', 0))
         if 'key' in state:
-            self._key = jnp.asarray(state['key'])
+            from safe_control_gym_tpu.utils.utils import restore_prng_key
+            self._key = restore_prng_key(state['key'])

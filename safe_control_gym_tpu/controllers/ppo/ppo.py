@@ -400,7 +400,8 @@ class PPO(BaseController):
                                                state['ret_norm_state'])
         self.total_steps = int(state.get('total_steps', 0))
         if 'key' in state:
-            self._key = jnp.asarray(state['key'])
+            from safe_control_gym_tpu.utils.utils import restore_prng_key
+            self._key = restore_prng_key(state['key'])
         if 'env_states' in state:
             self._env_states = jax.tree.map(jnp.asarray, state['env_states'])
             self._obs = jnp.asarray(state['obs'])

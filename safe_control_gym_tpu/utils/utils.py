@@ -223,3 +223,24 @@ def unwrap_wrapper(env, wrapper_class):
 
 def is_wrapped(env, wrapper_class) -> bool:
     return unwrap_wrapper(env, wrapper_class) is not None
+
+
+def restore_prng_key(raw, fallback_seed: int = 0):
+    """Restore a checkpointed PRNG key under the CURRENT default impl.
+
+    Checkpoints written under a different PRNG implementation (e.g. the
+    TPU hardware RBG, key shape (4,)) cannot be used verbatim by another
+    impl (threefry, shape (2,)); derive an equivalent seed from the raw
+    key data instead so cross-backend loads keep working (exact resume is
+    only bitwise within the same impl, matching the reference's
+    torch-RNG-state semantics).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    raw = np.asarray(raw)
+    expected = np.asarray(jax.random.PRNGKey(0)).shape
+    if raw.shape == expected:
+        return jnp.asarray(raw)
+    seed = int(np.bitwise_xor.reduce(raw.astype(np.uint32).ravel()))
+    return jax.random.PRNGKey(seed & 0x7FFFFFFF)
