@@ -90,3 +90,39 @@ def test_pretrained_mpsc_artifact_certifies():
     u, success = sf.certify_action(obs, np.array([0.5], np.float32))
     assert success
     assert np.isfinite(u).all()
+
+
+def test_pretrained_quadrotor_track_and_3d_artifacts():
+    """Tracking (2D figure8) and 3D-stabilization artifacts load and fly."""
+    import os
+
+    import yaml
+
+    from safe_control_gym_tpu.experiments.base_experiment import \
+        BaseExperiment
+    from safe_control_gym_tpu.utils.registration import get_config, make
+    root = os.path.join(os.path.dirname(__file__), '..', '..', 'examples')
+
+    def run_one(algo, sysdir, taskfile, artifact):
+        base = os.path.join(root, 'rl', 'config_overrides', sysdir)
+        with open(os.path.join(base, taskfile)) as f:
+            task = yaml.safe_load(f)['task_config']
+        cfg = get_config(algo)
+        with open(os.path.join(base, f'{algo}_{sysdir}.yaml')) as f:
+            cfg.update(yaml.safe_load(f)['algo_config'])
+        env_func = functools.partial(make, 'quadrotor', **task)
+        ctrl = make(algo, env_func, training=False,
+                    output_dir='/tmp/evalpre', **cfg)
+        ctrl.load(os.path.join(root, 'rl', 'models', algo, artifact))
+        exp = BaseExperiment(env=env_func(), ctrl=ctrl)
+        _, metrics = exp.run_evaluation(n_episodes=1, verbose=False)
+        exp.close()
+        ctrl.close()
+        assert metrics['average_length'] >= 240, (algo, artifact, metrics)
+
+    run_one('ppo', 'quadrotor_2D', 'quadrotor_2D_track.yaml',
+            'model_latest_quadrotor_track.pt')
+    run_one('ppo', 'quadrotor_3D', 'quadrotor_3D_stab.yaml',
+            'model_latest_quadrotor_3D.pt')
+    run_one('sac', 'quadrotor_3D', 'quadrotor_3D_stab.yaml',
+            'model_latest_quadrotor_3D.pt')
