@@ -4,18 +4,27 @@ controllers/mpc/gp_mpc.py (1131 LoC reference).
 A LinearMPC prior + Gaussian-process regression of the residual dynamics:
 
 * residual targets = x_next - linear prior prediction (gp_mpc.py:264-286);
-* training data gathered by running the prior (epoch 0) or the current
-  GP-MPC controller, with LHS/uniform-perturbed initial states
-  (gp_mpc.py:704-757, 841-923);
+* training data comes from the reference's two regimes: the one-shot
+  LHS bootstrap of one-step transitions (gp_mpc.py:704-757) and the
+  closed-loop EPOCH loop — epoch 0 runs the prior controller, every later
+  epoch harvests the trajectories of the CURRENT GP-MPC controller with
+  ``gather_training_samples``, retrains, and re-evaluates
+  (gp_mpc.py:841-962);
 * per-dim GPs trained on device (gp_utils.py rebuild);
 * the GP mean enters the MPC dynamics DIRECTLY — where the reference builds
   CasADi kernel expressions so IPOPT can see the GP (gp_mpc.py:223-262),
   here the GP posterior mean is a differentiable JAX function composed with
-  the prior dynamics and handled by the same SQP machinery;
+  the prior dynamics and handled by the same SQP machinery. The GP data
+  (X, alpha / FITC weights) is threaded through the jitted solve as a
+  fixed-shape pytree argument, so updating the GP does NOT recompile;
 * covariance propagation under the LQR-feedback assumption produces
   per-step chance-constraint tightening with the inverse-CDF factor
   (precompute_probabilistic_limits, gp_mpc.py:288-362), fed into the parent
-  solver's per-step tightening inputs.
+  solver's per-step tightening inputs;
+* ``online_learning`` is REAL here: each control step appends the observed
+  transition's residual to the GP (fixed-capacity ring buffer) and refreshes
+  the posterior — the reference declares the flag but exits with
+  'Not yet supported' (gp_mpc.py:981-983).
 """
 
 from __future__ import annotations
@@ -30,8 +39,7 @@ import scipy.stats
 from safe_control_gym_tpu.controllers.mpc.gp_utils import (
     GaussianProcessCollection, kmeans_centriods)
 from safe_control_gym_tpu.controllers.mpc.linear_mpc import LinearMPC
-from safe_control_gym_tpu.controllers.mpc.mpc_utils import \
-    discretize_linear_system
+from safe_control_gym_tpu.math.linalg import full_matmul_precision
 
 __all__ = ['GPMPC']
 
@@ -56,10 +64,23 @@ class GPMPC(LinearMPC):
                  input_mask: Optional[list] = None,
                  target_mask: Optional[list] = None,
                  gp_approx: str = 'mean_eq',
+                 initial_rollout_std: float = 0.005,
+                 max_tightening_frac: float = 0.45,
                  sparse_gp: bool = False,
                  n_ind_points: int = 30,
                  online_learning: bool = False,
+                 online_buffer: int = 64,
                  num_samples: int = 200,
+                 num_epochs: int = 1,
+                 num_train_episodes_per_epoch: int = 1,
+                 num_test_episodes_per_epoch: int = 1,
+                 same_train_initial_state: bool = False,
+                 same_test_initial_state: bool = True,
+                 rand_data_selection: bool = False,
+                 overwrite_saved_data: bool = True,
+                 terminate_train_on_done: bool = True,
+                 terminate_test_on_done: bool = False,
+                 terminate_run_on_done: bool = True,
                  **kwargs):
         kwargs.setdefault('sqp_iters', 2)
         super().__init__(env_func, horizon=horizon, q_mpc=q_mpc, r_mpc=r_mpc,
@@ -71,11 +92,39 @@ class GPMPC(LinearMPC):
         self.learning_rate = float(learning_rate or 0.01)
         self.normalize_training_data = normalize_training_data
         self.prob = prob
+        # 'mean_eq' (mean-equivalence rollout) is the only propagation the
+        # reference implements; everything else raises there too
+        # (gp_mpc.py:320-347).
+        if gp_approx != 'mean_eq':
+            raise NotImplementedError(
+                f"gp_approx '{gp_approx}' is not implemented; only 'mean_eq' "
+                'is supported (reference gp_mpc.py:320-347).')
         self.gp_approx = gp_approx
+        self.initial_rollout_std = float(initial_rollout_std)
+        # Chance-constraint tightening is capped at this fraction of each
+        # row's nominal margin |b| so an uncertain GP can never tighten a
+        # bound pair into an empty (infeasible) set — the QP stays solvable
+        # and the filter degrades gracefully instead of faulting (the
+        # reference leans on IPOPT's infeasibility fallback here,
+        # mpc.py:298-316).
+        self.max_tightening_frac = float(max_tightening_frac)
         self.sparse_gp = sparse_gp
         self.n_ind_points = n_ind_points
-        self.online_learning = online_learning
+        self.online_learning = bool(online_learning)
+        self.online_buffer = int(online_buffer)
         self.num_samples = int(num_samples)
+        # Epoch-loop settings (gp_mpc.py:841-923 + the reference HPO config
+        # examples/hpo/gp_mpc/.../gp_mpc_cartpole_150.yaml:54-62).
+        self.num_epochs = int(num_epochs)
+        self.num_train_episodes_per_epoch = int(num_train_episodes_per_epoch)
+        self.num_test_episodes_per_epoch = int(num_test_episodes_per_epoch)
+        self.same_train_initial_state = bool(same_train_initial_state)
+        self.same_test_initial_state = bool(same_test_initial_state)
+        self.rand_data_selection = bool(rand_data_selection)
+        self.overwrite_saved_data = bool(overwrite_saved_data)
+        self.terminate_train_on_done = bool(terminate_train_on_done)
+        self.terminate_test_on_done = bool(terminate_test_on_done)
+        self.terminate_run_on_done = bool(terminate_run_on_done)
         nx, nu = self.model.nx, self.model.nu
         self.input_mask = (list(range(nx + nu)) if input_mask is None
                            else list(input_mask))
@@ -89,14 +138,20 @@ class GPMPC(LinearMPC):
         self._gp_trained = False
         self.data_inputs = None
         self.data_targets = None
+        self.dynamics_func_param = None
+        self.dynamics_params = None
+        self.last_obs = None
+        self.last_action = None
+        self.train_runs = None
+        self.test_runs = None
 
     # ------------------------------------------------------------------
     def preprocess_training_data(self, x_seq, u_seq, x_next_seq):
         """Residual targets = x_next - linear prior prediction
         (gp_mpc.py:264-286)."""
-        x_seq = np.asarray(x_seq)
-        u_seq = np.asarray(u_seq)
-        x_next_seq = np.asarray(x_next_seq)
+        x_seq = np.atleast_2d(np.asarray(x_seq))
+        u_seq = np.atleast_2d(np.asarray(u_seq))
+        x_next_seq = np.atleast_2d(np.asarray(x_next_seq))
         x_pred = (self.X_EQ[None, :]
                   + (x_seq - self.X_EQ[None, :]) @ self.Ad.T
                   + (u_seq - self.U_EQ[None, :]) @ self.Bd.T)
@@ -104,6 +159,7 @@ class GPMPC(LinearMPC):
         inputs = np.concatenate([x_seq, u_seq], axis=1)
         return inputs, targets
 
+    # -- data collection -------------------------------------------------
     def _gather_training_samples(self, env, n_samples, use_lhs=True):
         """One-step transitions from LHS-sampled initial states
         (gp_mpc.py:704-757: skopt Lhs over the init-state ranges)."""
@@ -118,14 +174,9 @@ class GPMPC(LinearMPC):
             init_states = lhs_sample(n_samples, lo, hi,
                                      rand_state=self.seed)
         for i in range(n_samples):
+            obs, _ = env.reset()
             if use_lhs:
-                obs, _ = env.reset()
-                env._est = env._est.replace(
-                    state=jnp.asarray(init_states[i], jnp.float32))
-                env.state = init_states[i].astype(np.float32)
-                obs = env.state
-            else:
-                obs, _ = env.reset()
+                obs = env.set_state(init_states[i])
             if self.env.NAME == 'quadrotor':
                 u = rng.random(nu) / 20 - 1 / 40 + self.U_EQ
             else:
@@ -136,46 +187,186 @@ class GPMPC(LinearMPC):
             xns.append(np.asarray(obs_next)[:nx])
         return np.stack(xs), np.stack(us), np.stack(xns)
 
+    def gather_training_samples(self, all_runs, epoch_i, num_samples,
+                                rand_generator=None):
+        """Sample transitions from recorded closed-loop runs
+        (gather_training_samples, gp_mpc.py:925-962)."""
+        nx = self.model.nx
+        n_episodes = len(all_runs[epoch_i])
+        num_samples_per_episode = int(num_samples / n_episodes)
+        xs, us, xns = [], [], []
+        for episode_i in range(n_episodes):
+            run = all_runs[epoch_i][episode_i]
+            obs = np.atleast_2d(np.asarray(run['obs']))[:, :nx]
+            act = np.atleast_2d(np.asarray(run['action']))
+            n = act.shape[0]
+            if num_samples_per_episode < n:
+                if rand_generator is not None:
+                    inds = rand_generator.choice(
+                        n - 1, num_samples_per_episode, replace=False)
+                else:
+                    inds = np.arange(num_samples_per_episode)
+            else:
+                inds = np.arange(n - 1)
+            xs.append(obs[inds])
+            us.append(act[inds])
+            xns.append(obs[inds + 1])
+        xs, us, xns = np.vstack(xs), np.vstack(us), np.vstack(xns)
+        if xs.shape[0] == 0:
+            raise RuntimeError(
+                '[ERROR] gather_training_samples: the recorded runs contain '
+                'no usable transitions (episodes of length < 2 — the MPC '
+                'likely went infeasible on the first step).')
+        return xs, us, xns
+
+    # -- learning ---------------------------------------------------------
     def learn(self, env=None, **kwargs):
-        """Gather data -> train GPs -> rebuild the GP-dynamics optimizer
-        (gp_mpc.py:841-923)."""
-        if env is None:
+        """Reference epoch loop when ``num_epochs > 1`` (gp_mpc.py:841-923):
+        epoch 0 runs the (untrained ⇒ prior) controller; every later epoch
+        harvests the previous epoch's train runs, retrains the GPs, then
+        runs test and train episodes with the updated controller. With
+        ``num_epochs == 1`` this falls back to the one-shot LHS bootstrap
+        (the reference's train_gp-with-no-data path, gp_mpc.py:690-757).
+
+        Note: the reference assigns ``x_prev``/``u_prev`` from old runs just
+        before ``self.reset()``/``run()`` which immediately clear them
+        (gp_mpc.py:899-912 vs :1057-1058) — those dead stores are omitted.
+        """
+        if self.num_epochs <= 1:
+            close_env = env is None
+            if env is None:
+                env = self.env_func(randomized_init=True, init_state=None,
+                                    cost='quadratic',
+                                    normalized_rl_action_space=False)
+            for _ in range(max(1, self.train_iterations)):
+                x_seq, u_seq, x_next_seq = self._gather_training_samples(
+                    env, self.num_samples)
+                inputs, targets = self.preprocess_training_data(
+                    x_seq, u_seq, x_next_seq)
+                self.train_gp(input_data=inputs, target_data=targets,
+                              overwrite_saved_data=False)
+            if close_env:
+                env.close()
+            return None, None
+
+        train_runs = {0: {}}
+        test_runs = {0: {}}
+        if self.same_train_initial_state:
+            train_envs = []
+            for _ in range(self.num_epochs):
+                e = self.env_func(randomized_init=True, seed=self.seed)
+                e.action_space.seed(self.seed)
+                train_envs.append(e)
+        else:
+            train_env = self.env_func(randomized_init=True, seed=self.seed)
+            train_env.action_space.seed(self.seed)
+            train_envs = [train_env] * self.num_epochs
+        if self.same_test_initial_state:
+            test_envs = []
+            for _ in range(self.num_epochs):
+                e = self.env_func(randomized_init=True,
+                                  seed=self.seed * 111)
+                e.action_space.seed(self.seed * 111)
+                test_envs.append(e)
+        else:
+            test_env = self.env_func(randomized_init=True,
+                                     seed=self.seed * 111)
+            test_env.action_space.seed(self.seed * 111)
+            test_envs = [test_env] * self.num_epochs
+
+        # Epoch 0: the untrained controller IS the prior controller
+        # (select_action uses the linear prior until the GP is trained, the
+        # role of prior_ctrl in gp_mpc.py:875-883).
+        for episode in range(self.num_train_episodes_per_epoch):
+            train_runs[0][episode] = self.run(
+                env=train_envs[0],
+                terminate_run_on_done=self.terminate_train_on_done)
+        for test_ep in range(self.num_test_episodes_per_epoch):
+            test_runs[0][test_ep] = self.run(
+                env=test_envs[0],
+                terminate_run_on_done=self.terminate_test_on_done)
+
+        for epoch in range(1, self.num_epochs):
+            # Harvest the controller's own closed-loop data from the last
+            # epoch (gp_mpc.py:887-892).
+            rand_gen = (np.random.default_rng(self.seed + epoch)
+                        if self.rand_data_selection else None)
+            x_seq, u_seq, x_next_seq = self.gather_training_samples(
+                train_runs, epoch - 1, self.num_samples, rand_gen)
+            inputs, targets = self.preprocess_training_data(
+                x_seq, u_seq, x_next_seq)
+            self.train_gp(input_data=inputs, target_data=targets)
+            # Test with the updated policy (gp_mpc.py:896-903).
+            test_runs[epoch] = {}
+            for test_ep in range(self.num_test_episodes_per_epoch):
+                test_runs[epoch][test_ep] = self.run(
+                    env=test_envs[epoch],
+                    terminate_run_on_done=self.terminate_test_on_done)
+            # Gather the next round of training trajectories
+            # (gp_mpc.py:905-912).
+            train_runs[epoch] = {}
+            for episode in range(self.num_train_episodes_per_epoch):
+                train_runs[epoch][episode] = self.run(
+                    env=train_envs[epoch],
+                    terminate_run_on_done=self.terminate_train_on_done)
+
+        for e in {id(e): e for e in train_envs + test_envs}.values():
+            e.close()
+        self.train_runs = train_runs
+        self.test_runs = test_runs
+        return train_runs, test_runs
+
+    def train_gp(self, input_data=None, target_data=None,
+                 overwrite_saved_data=None, **kwargs):
+        """Fit per-dim GPs + compile GP dynamics (gp_mpc.py:678-839).
+        Without explicit data, draws the LHS one-step bootstrap set
+        (gp_mpc.py:704-757)."""
+        if overwrite_saved_data is None:
+            overwrite_saved_data = self.overwrite_saved_data
+        if input_data is None and target_data is None:
             env = self.env_func(randomized_init=True, init_state=None,
                                 cost='quadratic',
                                 normalized_rl_action_space=False)
-        for epoch in range(max(1, self.train_iterations)):
             x_seq, u_seq, x_next_seq = self._gather_training_samples(
                 env, self.num_samples)
-            inputs, targets = self.preprocess_training_data(
+            env.close()
+            input_data, target_data = self.preprocess_training_data(
                 x_seq, u_seq, x_next_seq)
-            if self.data_inputs is None:
-                self.data_inputs, self.data_targets = inputs, targets
-            else:
-                self.data_inputs = np.vstack([self.data_inputs, inputs])
-                self.data_targets = np.vstack([self.data_targets, targets])
-            self.train_gp()
-        env.close()
-
-    def train_gp(self, **kwargs):
-        """Fit per-dim GPs + compile GP dynamics (gp_mpc.py:678-839)."""
+        if self.data_inputs is None or overwrite_saved_data:
+            self.data_inputs, self.data_targets = input_data, target_data
+        else:
+            self.data_inputs = np.vstack([self.data_inputs, input_data])
+            self.data_targets = np.vstack([self.data_targets, target_data])
+        if self.data_inputs.shape[0] == 0:
+            raise ValueError('[ERROR] train_gp called with no training data.')
+        capacity = (self.data_inputs.shape[0] + self.online_buffer
+                    if self.online_learning else None)
         self.gaussian_process.train(self.data_inputs, self.data_targets,
                                     n_train=self.optimization_iterations,
-                                    learning_rate=self.learning_rate)
+                                    learning_rate=self.learning_rate,
+                                    capacity=capacity)
         self._gp_trained = True
         self.set_gp_dynamics_func()
         self.setup_optimizer(self.solver)
         self.reset_before_run()
 
+    # -- dynamics ---------------------------------------------------------
     def set_gp_dynamics_func(self):
         """Compose prior linear dynamics with the GP residual mean
         (set_gp_dynamics_func, gp_mpc.py:210-262). With ``sparse_gp`` the
         FITC approximation over kmeans inducing points replaces the exact
-        posterior (gp_mpc.py:383-432)."""
-        if self.sparse_gp:
-            gp_mean, self.z_ind = self.gaussian_process.make_fitc_predict_func(
-                self.n_ind_points, rand_state=self.seed)
-        else:
-            gp_mean = self.gaussian_process.make_casadi_predict_func()
+        posterior (gp_mpc.py:383-432).
+
+        The data-dependent quantities — exact-GP (X, alpha) or FITC weights
+        — are NOT baked into the compiled program; they travel as the
+        ``dynamics_params`` pytree through the jitted SQP solve, so online
+        updates never trigger recompilation (shapes are fixed by the
+        capacity padding in gp_utils)."""
+        gps = self.gaussian_process.gps
+        ls = jnp.stack([jnp.exp(gp.params['log_lengthscales'])
+                        for gp in gps])
+        sv = jnp.stack([jnp.exp(gp.params['log_signal_var']) for gp in gps])
+        kernel_fn = gps[0].kernel_fn
         Ad = jnp.asarray(self.Ad, jnp.float32)
         Bd = jnp.asarray(self.Bd, jnp.float32)
         X_EQ = jnp.asarray(self.X_EQ, jnp.float32)
@@ -184,13 +375,75 @@ class GPMPC(LinearMPC):
         target_mask = jnp.asarray(self.target_mask, jnp.int32)
         nx = self.model.nx
 
-        def gp_dynamics(x, u):
+        if self.sparse_gp:
+            X_real = np.asarray(gps[0].real_data()[0])
+            self.z_ind = kmeans_centriods(
+                min(self.n_ind_points, X_real.shape[0]), X_real,
+                rand_state=self.seed)
+            Zj = jnp.asarray(self.z_ind, jnp.float32)
+
+            def gp_mean(z, p):
+                k = jax.vmap(lambda l, s: kernel_fn(z[None], Zj, l, s)[0])(
+                    ls, sv)                      # (n_targets, M)
+                return jnp.sum(k * p['w'], axis=1)
+        else:
+            def gp_mean(z, p):
+                k = jax.vmap(
+                    lambda l, s: kernel_fn(z[None], p['X'], l, s)[0])(
+                    ls, sv)                      # (n_targets, N)
+                return jnp.sum(k * p['alpha'], axis=1)
+
+        @full_matmul_precision
+        def gp_dynamics(x, u, p):
             prior = X_EQ + Ad @ (x - X_EQ) + Bd @ (u - U_EQ)
             z = jnp.concatenate([x, u])[input_mask]
-            resid = gp_mean(z)
+            resid = gp_mean(z, p)
             return prior + jnp.zeros(nx).at[target_mask].set(resid)
 
-        self.dynamics_func = gp_dynamics
+        self.dynamics_func_param = gp_dynamics
+        self._refresh_dynamics_params()
+        # Non-param view for external callers (binds the LIVE params).
+        self.dynamics_func = lambda x, u: gp_dynamics(
+            x, u, self.dynamics_params)
+
+    def _refresh_dynamics_params(self):
+        """Re-derive the solve-time GP data pytree from the current GPs
+        (called after training and after every online update)."""
+        gps = self.gaussian_process.gps
+        if self.sparse_gp:
+            w = jnp.stack([gp.fitc_weights(self.z_ind) for gp in gps])
+            self.dynamics_params = {'w': w}
+        else:
+            self.dynamics_params = {
+                'X': gps[0].X,
+                'alpha': jnp.stack([gp._alpha for gp in gps])}
+
+    # -- control ------------------------------------------------------------
+    def select_action(self, obs, info=None):
+        """Receding-horizon solve; with ``online_learning`` the observed
+        transition since the previous call is appended to the GP first
+        (gp_mpc.py:966-993 — where the reference exits 'Not yet
+        supported', gp_mpc.py:981-983)."""
+        if (self.online_learning and self._gp_trained
+                and self.last_obs is not None
+                and self.last_action is not None):
+            nx = self.model.nx
+            x_p = np.asarray(self.last_obs)[:nx]
+            u_p = np.atleast_1d(np.asarray(self.last_action))
+            x_n = np.asarray(obs)[:nx]
+            inp, tgt = self.preprocess_training_data(
+                x_p[None], u_p[None], x_n[None])
+            self.gaussian_process.add_data(inp, tgt)
+            self._refresh_dynamics_params()
+        action = super().select_action(obs, info)
+        self.last_obs = np.asarray(obs)
+        self.last_action = np.asarray(action)
+        return action
+
+    def reset_before_run(self, obs=None, info=None, env=None):
+        self.last_obs = None
+        self.last_action = None
+        super().reset_before_run(obs, info, env)
 
     # ------------------------------------------------------------------
     def _constraint_tightening(self, step):
@@ -205,14 +458,25 @@ class GPMPC(LinearMPC):
         nx, nu = self.model.nx, self.model.nu
         K = np.asarray(self.lqr_gain)  # u = K x convention (negative fb)
         A_cl = self.Ad + self.Bd @ K
-        # GP predictive variance along the previous trajectory.
+        # GP predictive variance along the previous trajectory, plus the
+        # learned observation-noise variance (gp_mpc.py:323-327).
         z_prev = np.concatenate([self.x_prev[:, :-1].T,
                                  np.atleast_2d(self.u_prev).reshape(nu, T).T],
                                 axis=1)[:, self.input_mask]
         _, gp_var = self.gaussian_process.predict(z_prev)  # (T, n_targets)
-        cov_x = np.zeros((nx, nx))
+        noise_var = np.array([float(np.exp(gp.params['log_noise_var']))
+                              for gp in self.gaussian_process.gps])
+        cov_x = np.eye(nx) * self.initial_rollout_std ** 2
         state_cons = self.constraints.state_constraints
         input_cons = self.constraints.input_constraints
+
+        def _cap(rows, con):
+            # Never tighten past max_tightening_frac of the nominal margin:
+            # an uncertain GP must degrade the chance constraint, not render
+            # the QP infeasible (bound pairs crossing).
+            return np.minimum(self.inverse_cdf * rows,
+                              self.max_tightening_frac * np.abs(con.b))
+
         for k in range(T):
             # Input tightening via the LQR feedback covariance.
             cov_u = K @ cov_x @ K.T
@@ -222,25 +486,25 @@ class GPMPC(LinearMPC):
             for con in input_cons:
                 rows = np.abs(con.A) @ np.concatenate([su])
                 tight_u[k, ofs_u:ofs_u + con.num_constraints] = \
-                    self.inverse_cdf * rows
+                    _cap(rows, con)
                 ofs_u += con.num_constraints
             ofs_s = 0
             for con in state_cons:
                 rows = np.abs(con.A) @ sx
                 tight_s[k, ofs_s:ofs_s + con.num_constraints] = \
-                    self.inverse_cdf * rows
+                    _cap(rows, con)
                 ofs_s += con.num_constraints
             # Propagate: Sigma+ = A_cl Sigma A_cl' + Sigma_gp.
             cov_d = np.zeros((nx, nx))
             cov_d[np.ix_(self.target_mask, self.target_mask)] = np.diag(
-                np.clip(gp_var[min(k, gp_var.shape[0] - 1)], 0, None))
+                np.clip(gp_var[min(k, gp_var.shape[0] - 1)], 0, None)
+                + noise_var)
             cov_x = A_cl @ cov_x @ A_cl.T + cov_d
         sx = np.sqrt(np.clip(np.diag(cov_x), 0, None))
         ofs_s = 0
         for con in state_cons:
             rows = np.abs(con.A) @ sx
-            tight_s[T, ofs_s:ofs_s + con.num_constraints] = \
-                self.inverse_cdf * rows
+            tight_s[T, ofs_s:ofs_s + con.num_constraints] = _cap(rows, con)
             ofs_s += con.num_constraints
         return jnp.asarray(tight_s), jnp.asarray(tight_u)
 
@@ -249,6 +513,9 @@ class GPMPC(LinearMPC):
         self.set_dynamics_func()
         if self._gp_trained:
             self.set_gp_dynamics_func()
+        else:
+            self.dynamics_func_param = None
+            self.dynamics_params = None
         self.setup_optimizer(self.solver)
         self.reset_before_run()
 

@@ -75,6 +75,13 @@ class GaussianProcess:
         self.Y = None
         self._alpha = None
         self._K_inv = None
+        # Capacity padding for online learning: padded slots carry huge
+        # per-point noise so they contribute ~nothing to the posterior,
+        # keeping ALL array shapes fixed while data streams in (a TPU/XLA
+        # requirement — shape changes would recompile the MPC program).
+        self._point_noise = None
+        self._n0 = None     # first online slot
+        self._ptr = None    # next online slot (ring over [_n0, capacity))
 
     def train(self, X, Y, n_train=500, learning_rate=0.01, verbose=False):
         """Adam on the exact MLL (gp_utils.py:998-1090 semantics, jitted)."""
@@ -111,6 +118,8 @@ class GaussianProcess:
         nv = jnp.exp(self.params['log_noise_var'])
         K = self.kernel_fn(self.X, self.X, ls, sv) \
             + (nv + 1e-6) * jnp.eye(self.X.shape[0])
+        if self._point_noise is not None:
+            K = K + jnp.diag(self._point_noise)
         L = jnp.linalg.cholesky(K)
         self._chol = L
         self._alpha = jax.scipy.linalg.cho_solve((L, True), self.Y)
@@ -149,8 +158,8 @@ class GaussianProcess:
         fn = self.make_casadi_prediction_func()
         return np.asarray(jax.jacfwd(fn)(jnp.asarray(z, jnp.float32)))
 
-    def make_fitc_prediction_func(self, z_ind):
-        """FITC sparse posterior mean with inducing points ``z_ind``
+    def fitc_weights(self, z_ind):
+        """FITC weight vector ``w`` such that mean(z*) = K(z*, Z) @ w
         (sparse machinery role of gp_mpc.py:383-432): prediction cost drops
         from O(N) to O(M) kernel evaluations per query.
 
@@ -178,8 +187,19 @@ class GaussianProcess:
         # FITC diag correction; clip for numerical safety (Qxx can exceed
         # the prior variance by rounding).
         lam = jnp.clip(sv - Qxx_diag, 0.0, None) + nv + 1e-6
+        if self._point_noise is not None:
+            # Padded online slots must stay invisible to FITC too.
+            lam = lam + self._point_noise
         A = Kzz + (Kzx / lam[None, :]) @ Kzx.T
-        w = psd_solve(A, (Kzx / lam[None, :]) @ self.Y, eps)
+        return psd_solve(A, (Kzx / lam[None, :]) @ self.Y, eps)
+
+    def make_fitc_prediction_func(self, z_ind):
+        """Pure FITC mean function built from :meth:`fitc_weights`."""
+        Z = jnp.asarray(z_ind, jnp.float32)
+        w = self.fitc_weights(z_ind)
+        ls = jnp.exp(self.params['log_lengthscales'])
+        sv = jnp.exp(self.params['log_signal_var'])
+        kernel_fn = self.kernel_fn
 
         def mean_fn(z):
             k = kernel_fn(jnp.atleast_2d(z), Z, ls, sv)
@@ -187,14 +207,75 @@ class GaussianProcess:
 
         return mean_fn
 
+    def pad_capacity(self, capacity: int):
+        """Reserve ``capacity - N`` extra data slots for online learning.
+        Padded slots hold zero inputs/targets with 1e6 point noise, so the
+        posterior is numerically unchanged while every downstream array
+        (X, alpha, Cholesky) keeps a fixed shape."""
+        n = int(self.X.shape[0])
+        if capacity <= n:
+            return
+        d = int(self.X.shape[1])
+        self.X = jnp.concatenate(
+            [self.X, jnp.zeros((capacity - n, d), jnp.float32)], axis=0)
+        self.Y = jnp.concatenate(
+            [self.Y, jnp.zeros((capacity - n,), jnp.float32)], axis=0)
+        self._point_noise = jnp.concatenate(
+            [jnp.zeros((n,), jnp.float32),
+             jnp.full((capacity - n,), 1e6, jnp.float32)])
+        self._n0 = n
+        self._ptr = n
+        self._precompute()
+
+    def add_data(self, x_new, y_new):
+        """Append observations and refresh the cached posterior factorization
+        WITHOUT re-optimizing hyperparameters. This is the online-learning
+        primitive GP-MPC uses per control step (the reference declares
+        ``online_learning`` but errors out 'Not yet supported',
+        gp_mpc.py:981-983 — here it is real). With a padded capacity the
+        new rows fill reserved slots (ring buffer over the online region);
+        otherwise the arrays grow."""
+        x_new = jnp.atleast_2d(jnp.asarray(x_new, jnp.float32))
+        y_new = jnp.atleast_1d(jnp.asarray(y_new, jnp.float32)).reshape(-1)
+        if self._point_noise is None:
+            self.X = jnp.concatenate([self.X, x_new], axis=0)
+            self.Y = jnp.concatenate([self.Y, y_new], axis=0)
+        else:
+            cap = int(self.X.shape[0])
+            for i in range(x_new.shape[0]):
+                slot = self._ptr
+                self.X = self.X.at[slot].set(x_new[i])
+                self.Y = self.Y.at[slot].set(y_new[i])
+                self._point_noise = self._point_noise.at[slot].set(0.0)
+                self._ptr = self._ptr + 1
+                if self._ptr >= cap:
+                    self._ptr = self._n0
+        self._precompute()
+
+    def real_data(self):
+        """(X, Y) restricted to actually-observed rows (drops padding)."""
+        if self._point_noise is None:
+            return self.X, self.Y
+        mask = np.asarray(self._point_noise) == 0.0
+        return self.X[mask], self.Y[mask]
+
     def state_dict(self):
-        return {'params': jax.tree.map(np.asarray, self.params),
-                'X': np.asarray(self.X), 'Y': np.asarray(self.Y)}
+        sd = {'params': jax.tree.map(np.asarray, self.params),
+              'X': np.asarray(self.X), 'Y': np.asarray(self.Y)}
+        if self._point_noise is not None:
+            sd['point_noise'] = np.asarray(self._point_noise)
+            sd['n0'] = self._n0
+            sd['ptr'] = self._ptr
+        return sd
 
     def load_state_dict(self, sd):
         self.params = jax.tree.map(jnp.asarray, sd['params'])
         self.X = jnp.asarray(sd['X'])
         self.Y = jnp.asarray(sd['Y'])
+        if 'point_noise' in sd:
+            self._point_noise = jnp.asarray(sd['point_noise'])
+            self._n0 = sd['n0']
+            self._ptr = sd['ptr']
         self._precompute()
 
 
@@ -212,8 +293,10 @@ class GaussianProcessCollection:
         self.gps = []
 
     def train(self, train_x, train_y, test_x=None, test_y=None,
-              n_train=500, learning_rate=0.01, verbose=False, **kwargs):
-        """Train all per-dim GPs (gp_utils.py:328-430 semantics)."""
+              n_train=500, learning_rate=0.01, verbose=False,
+              capacity=None, **kwargs):
+        """Train all per-dim GPs (gp_utils.py:328-430 semantics). With
+        ``capacity`` each GP reserves padded slots for online updates."""
         train_x = np.asarray(train_x)
         train_y = np.asarray(train_y)
         if self.input_mask is not None:
@@ -226,6 +309,8 @@ class GaussianProcessCollection:
             gp = GaussianProcess(train_x.shape[1], kernel=self.kernel_name)
             losses.append(gp.train(train_x, train_y[:, d], n_train=n_train,
                                    learning_rate=learning_rate))
+            if capacity is not None:
+                gp.pad_capacity(int(capacity))
             self.gps.append(gp)
         return losses
 
@@ -254,7 +339,7 @@ class GaussianProcessCollection:
     def make_fitc_predict_func(self, n_ind_points, rand_state=0):
         """Stacked FITC mean function with shared kmeans inducing points
         (precompute_sparse_gp_values, gp_mpc.py:383-432)."""
-        X = np.asarray(self.gps[0].X)
+        X = np.asarray(self.gps[0].real_data()[0])
         z_ind = kmeans_centriods(min(n_ind_points, X.shape[0]), X,
                                  rand_state=rand_state)
         fns = [gp.make_fitc_prediction_func(z_ind) for gp in self.gps]
@@ -263,6 +348,19 @@ class GaussianProcessCollection:
             return jnp.stack([fn(z) for fn in fns])
 
         return predict, z_ind
+
+    def add_data(self, inputs, targets):
+        """Append a batch of (input, target) rows to every per-dim GP and
+        refresh posteriors (online-learning path; masks applied as in
+        ``train``)."""
+        inputs = np.atleast_2d(np.asarray(inputs))
+        targets = np.atleast_2d(np.asarray(targets))
+        if self.input_mask is not None:
+            inputs = inputs[:, self.input_mask]
+        if self.target_mask is not None:
+            targets = targets[:, self.target_mask]
+        for d, gp in enumerate(self.gps):
+            gp.add_data(inputs, targets[:, d])
 
     def state_dict(self):
         return [gp.state_dict() for gp in self.gps]

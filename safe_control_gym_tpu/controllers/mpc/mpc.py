@@ -58,6 +58,8 @@ class MPC(BaseController):
                  solver: str = 'sqp',
                  sqp_iters: int = 3,
                  qp_iters: int = 250,
+                 feas_tol: float = 1e-2,
+                 feas_tol_relative: bool = True,
                  additional_constraints: Optional[list] = None,
                  **kwargs):
         super().__init__(env_func=env_func, **kwargs)
@@ -89,6 +91,12 @@ class MPC(BaseController):
         self.solver = solver
         self.sqp_iters = int(sqp_iters)
         self.qp_iters = int(qp_iters)
+        # Feasibility is judged by the final ADMM primal residual. With
+        # ``feas_tol_relative`` the tolerance scales with the problem data
+        # (OSQP's eps_abs + eps_rel * scale convention) so large states /
+        # references don't get spuriously declared infeasible.
+        self.feas_tol = float(feas_tol)
+        self.feas_tol_relative = bool(feas_tol_relative)
         self.X_EQ = np.atleast_1d(np.asarray(self.model.X_EQ))
         self.U_EQ = np.atleast_1d(np.asarray(self.model.U_EQ))
         if self.env.TASK == Task.STABILIZATION:
@@ -235,7 +243,18 @@ class MPC(BaseController):
                 np.eye(n_slack)
         self._A_base = jnp.asarray(A_base, jnp.float32)
 
-        fd = self.dynamics_func
+        # Dynamics enter either as a closed-over function fd(x, u) or — when
+        # the subclass defines ``dynamics_func_param`` — as fd(x, u, params)
+        # with ``params`` threaded through the jitted solve as a pytree
+        # argument. The latter lets data-dependent dynamics (online GP-MPC)
+        # update without recompiling: fixed shapes, new values.
+        fd_param = getattr(self, 'dynamics_func_param', None)
+        if fd_param is None:
+            _fd0 = self.dynamics_func
+            def fd_p(x, u, p):
+                return _fd0(x, u)
+        else:
+            fd_p = fd_param
         Q = jnp.asarray(self.Q, jnp.float32)
         Qterm_j = jnp.asarray(Qterm, jnp.float32)
         R = jnp.asarray(self.R, jnp.float32)
@@ -251,7 +270,9 @@ class MPC(BaseController):
         big = 1e8
 
         def build_and_solve(x_init, goal_states, X, U, z0, y0, tight_s,
-                            tight_u):
+                            tight_u, dp):
+            def fd(x, u):
+                return fd_p(x, u, dp)
             # Jacobians + defects at the current guess.
             A_k = jax.vmap(jax.jacfwd(fd, argnums=0))(X[:-1], U)
             B_k = jax.vmap(jax.jacfwd(fd, argnums=1))(X[:-1], U)
@@ -298,11 +319,12 @@ class MPC(BaseController):
             U_new = sol.x[nX:nX + nU].reshape(T, nu)
             return X_new, U_new, sol.x, sol.y, sol.prim_res
 
-        def solve(x_init, goal_states, X0, U0, z0, y0, tight_s, tight_u):
+        def solve(x_init, goal_states, X0, U0, z0, y0, tight_s, tight_u,
+                  dp=None):
             def body(carry, _):
                 X, U, z, y = carry
                 X, U, z, y, res = build_and_solve(x_init, goal_states, X, U,
-                                                  z, y, tight_s, tight_u)
+                                                  z, y, tight_s, tight_u, dp)
                 return (X, U, z, y), res
             (X, U, z, y), res = jax.lax.scan(body, (X0, U0, z0, y0), None,
                                              length=sqp_iters)
@@ -338,9 +360,14 @@ class MPC(BaseController):
             z0 = jnp.zeros((self._n_z,), jnp.float32)
             y0 = jnp.zeros((self._m_rows,), jnp.float32)
         tight_s, tight_u = self._constraint_tightening(step)
+        dp = getattr(self, 'dynamics_params', None)
         X, U, z, y, res = self._solve_jit(obs_j, goal_j, X0, U0, z0, y0,
-                                          tight_s, tight_u)
-        feasible = bool(np.isfinite(float(res)) and float(res) < 1e-2)
+                                          tight_s, tight_u, dp)
+        tol = self.feas_tol
+        if self.feas_tol_relative:
+            tol = tol * max(1.0, float(np.max(np.abs(np.asarray(obs)))),
+                            float(np.max(np.abs(goal_states))))
+        feasible = bool(np.isfinite(float(res)) and float(res) < tol)
         if feasible:
             x_val = np.asarray(X).T       # (nx, T+1) like the reference
             u_val = np.asarray(U).T.squeeze()  # (nu, T) -> squeeze like opti
@@ -401,3 +428,71 @@ class MPC(BaseController):
 
     def learn(self, env=None, **kwargs):
         return
+
+    def run(self, env=None, render=False, logging=False, max_steps=None,
+            terminate_run_on_done=None):
+        """Closed-loop evaluation with the current policy
+        (gp_mpc.py:1033-1131; the reference defines it on GPMPC but it is
+        generic MPC machinery). Returns the populated results dict."""
+        from safe_control_gym_tpu.controllers.mpc.mpc_utils import \
+            compute_state_rmse
+        if env is None:
+            env = self.env
+        if terminate_run_on_done is None:
+            terminate_run_on_done = getattr(self, 'terminate_run_on_done',
+                                            True)
+        self.x_prev = None
+        self.u_prev = None
+        self._qp_warm = None
+        obs, info = env.reset()
+        self.setup_results_dict()
+        self.results_dict['obs'].append(obs)
+        self.results_dict['state'].append(env.state)
+        if max_steps is None:
+            if env.TASK == Task.TRAJ_TRACKING:
+                max_steps = self.traj.shape[1]
+            else:
+                max_steps = int(env.CTRL_FREQ * env.EPISODE_LEN_SEC)
+        self.terminate_loop = False
+        done = False
+        i = 0
+        common_metric = 0.0
+        while (not (done and terminate_run_on_done) and i < max_steps
+               and not self.terminate_loop):
+            action = self.select_action(obs, info)
+            if self.terminate_loop:
+                break
+            obs, reward, done, info = env.step(action)
+            self.results_dict['obs'].append(obs)
+            self.results_dict['reward'].append(reward)
+            self.results_dict['done'].append(done)
+            self.results_dict['info'].append(info)
+            self.results_dict['action'].append(action)
+            self.results_dict['state'].append(env.state)
+            self.results_dict['state_mse'].append(info['mse'])
+            goal_i = (env.X_GOAL[i, :] if env.X_GOAL.ndim > 1 else env.X_GOAL)
+            self.results_dict['state_error'].append(env.state - goal_i)
+            common_metric += info['mse']
+            if render:
+                self.results_dict['frames'].append(env.render('rgb_array'))
+            i += 1
+        self.results_dict['obs'] = np.vstack(self.results_dict['obs'])
+        self.results_dict['state'] = np.vstack(self.results_dict['state'])
+        try:
+            self.results_dict['reward'] = np.vstack(
+                self.results_dict['reward'])
+            self.results_dict['action'] = np.vstack(
+                self.results_dict['action'])
+            self.results_dict['full_traj_common_cost'] = common_metric
+            # The reference feeds raw states/obs here (gp_mpc.py:1126-1127),
+            # not the error arrays — kept for metric parity.
+            self.results_dict['total_rmse_state_error'] = compute_state_rmse(
+                self.results_dict['state'])
+            self.results_dict['total_rmse_obs_error'] = compute_state_rmse(
+                self.results_dict['obs'])
+        except ValueError as exc:
+            raise RuntimeError(
+                '[ERROR] mpc.run(): MPC could not find a solution for the '
+                'first step given the initial conditions. Check that the '
+                'initial conditions are feasible.') from exc
+        return deepcopy(self.results_dict)

@@ -611,6 +611,25 @@ class BenchmarkEnv(gym.Env):
         info = self._build_info(out)
         return obs, rew, done, info
 
+    def set_state(self, state):
+        """Public set-state API: overwrite the physical state mid-episode.
+
+        Consumers that need to start transitions from chosen states (GP-MPC
+        data collection, reference gp_mpc.py:704-757; iLQR rollouts; tests)
+        use this instead of poking the functional ``EnvState``; the host
+        mirrors stay consistent. Returns the extended observation of the new
+        state (noise applied if an observation disturbance is configured),
+        matching what ``step`` would have observed at the current counter.
+        """
+        self._check_initial_reset()
+        state = np.asarray(state, np.float32).reshape(self.state_dim)
+        state_j = jnp.asarray(state)
+        self._est = self._est.replace(state=state_j)
+        self.state = state
+        obs = self._apply_obs_noise_impl(self._est, state_j, self._next_key())
+        obs = self._extend_obs_pure(obs, int(self._est.ctrl_step) + 1)
+        return np.asarray(obs)
+
     def _build_info(self, out: StepOut) -> Dict[str, Any]:
         """Reference-style step info dict (cartpole.py:674-696 +
         after_step additions)."""
