@@ -13,6 +13,20 @@ from safe_control_gym_tpu.utils.configuration import ConfigFactory
 from safe_control_gym_tpu.utils.registration import make
 
 
+def system_name(config):
+    """Artifact system label: quadrotor splits into 2D/3D by quad_type."""
+    if config.task == 'quadrotor':
+        return ('quadrotor_3D'
+                if int(config.task_config.get('quad_type', 2)) >= 3
+                else 'quadrotor_2D')
+    return config.task
+
+
+def task_name(config):
+    return ('track' if config.task_config.get('task') == 'traj_tracking'
+            else 'stab')
+
+
 def run(gui=False, plot=False, n_episodes=1, n_steps=None,
         curr_path='.', save_data=False):
     """Main RL eval experiment (reference rl_experiment.py:17-100)."""
@@ -21,16 +35,16 @@ def run(gui=False, plot=False, n_episodes=1, n_steps=None,
 
     task_config = dict(config.task_config)
     env_func = partial(make, config.task, **task_config)
-    ctrl = make(config.algo, env_func,
-                training=False,
-                **config.algo_config)
+    algo_config = dict(config.algo_config)
+    algo_config['training'] = False
+    ctrl = make(config.algo, env_func, **algo_config)
 
-    # Load model if a checkpoint exists (reference loads
-    # examples/rl/models/<algo>/<algo>_model_<system>_<task>.pt); tracking
-    # tasks get a '_track' suffixed artifact.
-    suffix = ('_track' if task_config.get('task') == 'traj_tracking' else '')
+    # Load the committed artifact for this (algo, system, task) cell —
+    # reference naming: examples/rl/models/<algo>/<algo>_model_<system>_<task>.pt
+    # (rl_experiment.py:53).
     model_path = os.path.join(curr_path, 'models', config.algo,
-                              f'model_latest_{config.task}{suffix}.pt')
+                              f'{config.algo}_model'
+                              f'_{system_name(config)}_{task_name(config)}.pt')
     if os.path.exists(model_path):
         ctrl.load(model_path)
     env = env_func(gui=gui)

@@ -8,6 +8,8 @@ from functools import partial
 from safe_control_gym_tpu.utils.configuration import ConfigFactory
 from safe_control_gym_tpu.utils.registration import make
 
+from rl_experiment import system_name, task_name
+
 
 def run(curr_path='.'):
     CONFIG_FACTORY = ConfigFactory()
@@ -19,7 +21,9 @@ def run(curr_path='.'):
     ctrl.learn()
     model_dir = os.path.join(curr_path, 'models', config.algo)
     os.makedirs(model_dir, exist_ok=True)
-    path = os.path.join(model_dir, f'model_latest_{config.task}.pt')
+    path = os.path.join(
+        model_dir,
+        f'{config.algo}_model_{system_name(config)}_{task_name(config)}.pt')
     ctrl.save(path)
     print(f'Saved model to {path}')
     ctrl.close()

@@ -205,8 +205,11 @@ class iLQR(LQR):
                         self.input_ff, input_ff.reshape(self.model.nu, 1),
                         axis=1)
             else:
-                action = (self.gains_fb[self.traj_step] @ obs
-                          + self.input_ff[:, self.traj_step])
+                # Clamp: a previous iteration that ended early (done) leaves
+                # fewer recorded gains than this rollout may need.
+                step = min(self.traj_step, len(self.gains_fb) - 1)
+                action = (self.gains_fb[step] @ obs
+                          + self.input_ff[:, step])
         elif self.gains_fb_best is not None:
             step = min(self.traj_step, len(self.gains_fb_best) - 1)
             action = (self.gains_fb_best[step] @ obs

@@ -1,6 +1,10 @@
-"""Integration-via-examples: MPSC certification
-(mirrors reference tests/test_examples/test_mpsc.py; trains the RPI set
-on-device instead of loading a committed pickle)."""
+"""Integration-via-examples: MPSC certification matrix
+(mirrors reference tests/test_examples/test_mpsc.py:8-27 cell-for-cell:
+{cartpole, quadrotor_2D} x {stab, track} x {lqr, pid, ppo, sac} x
+linear_mpsc x one_step_cost, PID skipped on cartpole as in the reference).
+Matrix cells load the committed RPI pickle (training=False) and, for RL
+algos, the committed policy artifact; the separate training test covers
+sf.learn() end-to-end."""
 
 import os
 import sys
@@ -11,18 +15,47 @@ from tests.test_examples.conftest import EXAMPLES_DIR
 
 sys.path.insert(0, os.path.join(EXAMPLES_DIR, 'mpsc'))
 
+MPSC_DIR = os.path.join(EXAMPLES_DIR, 'mpsc')
 
-@pytest.mark.parametrize('ALGO', ['lqr'])
-def test_mpsc_cartpole(ALGO, monkeypatch):
+
+@pytest.mark.parametrize('SYS', ['cartpole', 'quadrotor_2D'])
+@pytest.mark.parametrize('TASK', ['stab', 'track'])
+@pytest.mark.parametrize('ALGO', ['lqr', 'pid', 'ppo', 'sac'])
+@pytest.mark.parametrize('SAFETY_FILTER', ['linear_mpsc'])
+@pytest.mark.parametrize('MPSC_COST', ['one_step_cost'])
+def test_mpsc(SYS, TASK, ALGO, SAFETY_FILTER, MPSC_COST, monkeypatch):
+    if SYS == 'cartpole' and ALGO == 'pid':
+        pytest.skip('PID is designed for quadrotors and does not function '
+                    'for the cartpole system.')
     from mpsc_experiment import run
-    base = os.path.join(EXAMPLES_DIR, 'mpsc', 'config_overrides', 'cartpole')
+    SYS_NAME = SYS if SYS == 'cartpole' else 'quadrotor'
+    base = os.path.join(MPSC_DIR, 'config_overrides', SYS)
     monkeypatch.setattr(sys, 'argv', [
-        'mpsc_experiment.py', '--algo', ALGO, '--task', 'cartpole',
+        'mpsc_experiment.py', '--task', SYS_NAME, '--algo', ALGO,
+        '--safety_filter', SAFETY_FILTER, '--overrides',
+        os.path.join(base, f'{SYS}_{TASK}.yaml'),
+        os.path.join(base, f'{ALGO}_{SYS}.yaml'),
+        os.path.join(base, f'{SAFETY_FILTER}_{SYS}.yaml'),
+        '--kv_overrides', f'sf_config.cost_function={MPSC_COST}'])
+    uncert_metrics, cert_metrics = run(
+        plot=False, training=False, n_episodes=None, n_steps=5,
+        curr_path=MPSC_DIR)
+    assert 'average_constraint_violation' in cert_metrics
+    assert 'average_constraint_violation' in uncert_metrics
+
+
+def test_mpsc_training_certifies(monkeypatch):
+    """End-to-end RPI learning + certification: the trained filter keeps
+    the LQR cartpole run violation-free."""
+    from mpsc_experiment import run
+    base = os.path.join(MPSC_DIR, 'config_overrides', 'cartpole')
+    monkeypatch.setattr(sys, 'argv', [
+        'mpsc_experiment.py', '--algo', 'lqr', '--task', 'cartpole',
         '--safety_filter', 'linear_mpsc', '--overrides',
         os.path.join(base, 'cartpole_stab.yaml'),
-        os.path.join(base, f'{ALGO}_cartpole_stab.yaml'),
-        os.path.join(base, 'linear_mpsc_cartpole_stab.yaml'),
+        os.path.join(base, 'lqr_cartpole.yaml'),
+        os.path.join(base, 'linear_mpsc_cartpole.yaml'),
         '--kv_overrides', 'sf_config.n_samples=60'])
-    uncert_metrics, cert_metrics = run(gui=False, plot=False, training=True,
-                                       n_episodes=1)
+    uncert_metrics, cert_metrics = run(plot=False, training=True,
+                                       n_episodes=1, curr_path=MPSC_DIR)
     assert cert_metrics['average_constraint_violation'] == 0

@@ -21,7 +21,7 @@ def test_pretrained_artifacts_load_and_solve():
     env_func = functools.partial(make, 'cartpole', **task)
     for algo in ('ppo', 'sac'):
         path = os.path.join(root, 'rl', 'models', algo,
-                            'model_latest_cartpole.pt')
+                            f'{algo}_model_cartpole_stab.pt')
         assert os.path.exists(path), path
         cfg = get_config(algo)
         with open(os.path.join(root, 'rl', 'config_overrides', 'cartpole',
@@ -59,7 +59,7 @@ def test_pretrained_quadrotor_artifacts_fly():
         ctrl = make(algo, env_func, training=False,
                     output_dir='/tmp/evalpre', **cfg)
         ctrl.load(os.path.join(root, 'rl', 'models', algo,
-                               'model_latest_quadrotor.pt'))
+                               f'{algo}_model_quadrotor_2D_stab.pt'))
         exp = BaseExperiment(env=env_func(), ctrl=ctrl)
         _, metrics = exp.run_evaluation(n_episodes=2, verbose=False)
         exp.close()
@@ -83,7 +83,7 @@ def test_pretrained_mpsc_artifact_certifies():
         sf_cfg.update(yaml.safe_load(f)['sf_config'])
     env_func = functools.partial(make, 'cartpole', **task)
     sf = make('linear_mpsc', env_func, **sf_cfg)
-    sf.load(os.path.join(root, 'mpsc', 'models', 'mpsc_cartpole.pkl'))
+    sf.load(os.path.join(root, 'mpsc', 'models', 'linear_mpsc_cartpole.pkl'))
     env = env_func()
     obs, _ = env.reset()
     sf.reset_before_run(env=env)
@@ -113,7 +113,8 @@ def test_pretrained_quadrotor_track_and_3d_artifacts():
         env_func = functools.partial(make, 'quadrotor', **task)
         ctrl = make(algo, env_func, training=False,
                     output_dir='/tmp/evalpre', **cfg)
-        ctrl.load(os.path.join(root, 'rl', 'models', algo, artifact))
+        ctrl.load(os.path.join(root, 'rl', 'models', algo,
+                               f'{algo}_model_{artifact}.pt'))
         exp = BaseExperiment(env=env_func(), ctrl=ctrl)
         _, metrics = exp.run_evaluation(n_episodes=1, verbose=False)
         exp.close()
@@ -121,8 +122,8 @@ def test_pretrained_quadrotor_track_and_3d_artifacts():
         assert metrics['average_length'] >= 240, (algo, artifact, metrics)
 
     run_one('ppo', 'quadrotor_2D', 'quadrotor_2D_track.yaml',
-            'model_latest_quadrotor_track.pt')
+            'quadrotor_2D_track')
     run_one('ppo', 'quadrotor_3D', 'quadrotor_3D_stab.yaml',
-            'model_latest_quadrotor_3D.pt')
+            'quadrotor_3D_stab')
     run_one('sac', 'quadrotor_3D', 'quadrotor_3D_stab.yaml',
-            'model_latest_quadrotor_3D.pt')
+            'quadrotor_3D_stab')
