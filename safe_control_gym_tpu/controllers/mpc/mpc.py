@@ -57,7 +57,7 @@ class MPC(BaseController):
                  use_lqr_gain_and_terminal_cost: bool = False,
                  solver: str = 'sqp',
                  sqp_iters: int = 3,
-                 qp_iters: int = 250,
+                 qp_iters: int = 4000,
                  feas_tol: float = 1e-2,
                  feas_tol_relative: bool = True,
                  additional_constraints: Optional[list] = None,
@@ -313,8 +313,12 @@ class MPC(BaseController):
             q_u = jnp.tile(-(R @ U_EQ), (T,))
             q = jnp.concatenate([q_x, q_xT, q_u,
                                  jnp.zeros((n_slack,), jnp.float32)])
+            # qp_iters is a budget, not a cost: ADMM stages exit early at
+            # 0.1*feas_tol, so easy solves stay fast while hard ones (soft
+            # slack penalties, infeasible warm starts, long horizons) get
+            # the full budget.
             sol = admm_qp(P_qp_j, q, A_mat, l, u, x0=z0, y0=y0,
-                          iters=qp_iters)
+                          iters=qp_iters, tol=0.1 * float(self.feas_tol))
             X_new = sol.x[:nX].reshape(T + 1, nx)
             U_new = sol.x[nX:nX + nU].reshape(T, nu)
             return X_new, U_new, sol.x, sol.y, sol.prim_res
@@ -361,6 +365,8 @@ class MPC(BaseController):
             y0 = jnp.zeros((self._m_rows,), jnp.float32)
         tight_s, tight_u = self._constraint_tightening(step)
         dp = getattr(self, 'dynamics_params', None)
+        used_warmstart = (self.warmstart and self.x_prev is not None
+                          and self.u_prev is not None)
         X, U, z, y, res = self._solve_jit(obs_j, goal_j, X0, U0, z0, y0,
                                           tight_s, tight_u, dp)
         tol = self.feas_tol
@@ -368,6 +374,17 @@ class MPC(BaseController):
             tol = tol * max(1.0, float(np.max(np.abs(np.asarray(obs)))),
                             float(np.max(np.abs(goal_states))))
         feasible = bool(np.isfinite(float(res)) and float(res) < tol)
+        if not feasible and used_warmstart:
+            # First fallback rung: a poisoned/stale warm start must not be
+            # mistaken for true infeasibility — retry cold-started before
+            # declaring failure (IPOPT retry semantics, mpc.py:298-316).
+            X0 = jnp.tile(obs_j, (T + 1, 1))
+            U0 = jnp.tile(jnp.asarray(self.U_EQ, jnp.float32), (T, 1))
+            z0 = jnp.zeros((self._n_z,), jnp.float32)
+            y0 = jnp.zeros((self._m_rows,), jnp.float32)
+            X, U, z, y, res = self._solve_jit(obs_j, goal_j, X0, U0, z0, y0,
+                                              tight_s, tight_u, dp)
+            feasible = bool(np.isfinite(float(res)) and float(res) < tol)
         if feasible:
             x_val = np.asarray(X).T       # (nx, T+1) like the reference
             u_val = np.asarray(U).T.squeeze()  # (nu, T) -> squeeze like opti

@@ -39,11 +39,17 @@ def admm_qp(P: jax.Array, q: jax.Array, A: jax.Array, l: jax.Array,
             u: jax.Array, x0: Optional[jax.Array] = None,
             y0: Optional[jax.Array] = None, rho: float = 0.1,
             sigma: float = 1e-6, alpha: float = 1.6,
-            iters: int = 200) -> QPSolution:
-    """Solve the QP with fixed-iteration ADMM (OSQP algorithm 1).
+            iters: int = 200, tol: Optional[float] = None) -> QPSolution:
+    """Solve the QP with staged ADMM (OSQP algorithm 1).
 
     All arrays dense; returns a :class:`QPSolution`. ``rho`` is scaled per
     row: equality rows (l == u) get 1e3 x rho, the standard OSQP heuristic.
+
+    ``iters`` is an upper bound: with ``tol`` set, stages stop early once
+    the (equilibrated) primal residual < tol and dual residual < 10*tol —
+    a bounded ``lax.while_loop``, so the program stays compilable while
+    hard problems (e.g. heavy slack penalties on infeasible starts) can be
+    given a large budget without slowing the easy ones.
 
     TPU note: the body runs under full-f32 matmul precision. The MXU's
     default bfloat16 inputs stall ADMM at ~1e-1 primal residual (each
@@ -52,10 +58,12 @@ def admm_qp(P: jax.Array, q: jax.Array, A: jax.Array, l: jax.Array,
     convergence at a modest MXU cost on these tiny matrices.
     """
     with jax.default_matmul_precision('highest'):
-        return _admm_qp_body(P, q, A, l, u, x0, y0, rho, sigma, alpha, iters)
+        return _admm_qp_body(P, q, A, l, u, x0, y0, rho, sigma, alpha,
+                             iters, tol)
 
 
-def _admm_qp_body(P, q, A, l, u, x0, y0, rho, sigma, alpha, iters):
+def _admm_qp_body(P, q, A, l, u, x0, y0, rho, sigma, alpha, iters,
+                  tol=None):
     n = P.shape[0]
     m = A.shape[0]
     x = jnp.zeros(n) if x0 is None else x0
@@ -95,10 +103,9 @@ def _admm_qp_body(P, q, A, l, u, x0, y0, rho, sigma, alpha, iters):
     # residual ratio, otherwise y converges at O(rho) per iteration. Each
     # stage refactors the (small) KKT matrix with the updated rho.
     n_stages = 10
-    stage_iters = max(iters // n_stages, 1)
+    tol_j = jnp.asarray(0.0 if tol is None else float(tol), jnp.float32)
 
-    def stage(carry, _):
-        x, z, y, rho_s = carry
+    def stage_once(x, z, y, rho_s, stage_iters):
         rho_vec = jnp.where(eq_mask, rho_s * 1e3, rho_s)
         K = P + sigma * jnp.eye(n) + (A.T * rho_vec) @ A
         K = 0.5 * (K + K.T)
@@ -120,11 +127,52 @@ def _admm_qp_body(P, q, A, l, u, x0, y0, rho, sigma, alpha, iters):
         dr = jnp.max(jnp.abs(P @ x + q + A.T @ y)) + 1e-12
         scale = jnp.clip(jnp.sqrt(pr / dr), 0.2, 5.0)
         rho_next = jnp.clip(rho_s * scale, 1e-4, 1e4)
-        return (x, z, y, rho_next), None
+        # Feasibility-style residual (violation of [l, u]) for early exit,
+        # matching the final reported prim_res.
+        pr_exit = jnp.max(jnp.abs(Ax - jnp.clip(Ax, l, u)))
+        return x, z, y, rho_next, pr_exit, dr
 
-    (x, z, y, _), _ = jax.lax.scan(
-        stage, (x, z, y, jnp.asarray(rho, jnp.float32)), None,
-        length=n_stages)
+    if tol is None:
+        # Fixed uniform stages under scan: reverse-mode differentiable.
+        stage_iters = max(iters // n_stages, 1)
+
+        def stage(carry, _):
+            x, z, y, rho_s = carry
+            x, z, y, rho_next, _pr, _dr = stage_once(x, z, y, rho_s,
+                                                     stage_iters)
+            return (x, z, y, rho_next), None
+
+        (x, z, y, _), _ = jax.lax.scan(
+            stage, (x, z, y, jnp.asarray(rho, jnp.float32)), None,
+            length=n_stages)
+    else:
+        # Early-exit bounded while_loop (forward-only) over GEOMETRICALLY
+        # GROWING stages: easy problems pay only the tiny early stages;
+        # hard ones spend most of the budget in late stages where rho has
+        # adapted. Sizes sum to ``iters``.
+        desc, rem = [], iters
+        for k in range(n_stages - 1):
+            half = max(rem // 2, 4)
+            desc.append(half)
+            rem = max(rem - half, 1)
+        desc.append(max(rem, 1))
+        sizes = jnp.asarray(desc[::-1], jnp.int32)   # ascending
+
+        def cond(carry):
+            _x, _z, _y, _rho, k, pr, dr = carry
+            not_conv = jnp.logical_or(pr > tol_j, dr > 10.0 * tol_j)
+            return jnp.logical_and(k < n_stages, not_conv)
+
+        def body(carry):
+            x, z, y, rho_s, k, _pr, _dr = carry
+            x, z, y, rho_next, pr, dr = stage_once(x, z, y, rho_s, sizes[k])
+            return (x, z, y, rho_next, k + 1, pr, dr)
+
+        inf = jnp.asarray(jnp.inf, jnp.float32)
+        (x, z, y, _, _, _, _) = jax.lax.while_loop(
+            cond, body,
+            (x, z, y, jnp.asarray(rho, jnp.float32), jnp.asarray(0),
+             inf, inf))
     Ax = A @ x
     # Residual in the equilibrated scaling: scale-free feasibility measure
     # (a unit-norm-row violation of eps means eps relative error regardless

@@ -53,7 +53,8 @@ class LINEAR_MPSC(MPSC):
                  additional_constraints: list = None,
                  use_terminal_set: bool = True,
                  learn_terminal_set: bool = False,
-                 sqp_iters: int = 2, qp_iters: int = 250,
+                 sqp_iters: int = 2, qp_iters: int = 1000,
+                 feas_tol: float = 5e-3, feas_tol_relative: bool = True,
                  cost_function: str = Cost_Function.ONE_STEP_COST, **kwargs):
         self.n_samples = n_samples
         self.n_samples_terminal_set = n_samples_terminal_set
@@ -61,6 +62,13 @@ class LINEAR_MPSC(MPSC):
         self.learn_terminal_set = learn_terminal_set
         self.sqp_iters = int(sqp_iters)
         self.qp_iters = int(qp_iters)
+        # Certification feasibility is judged by the final ADMM primal
+        # residual; with feas_tol_relative the tolerance scales with the
+        # problem data (OSQP's eps_abs + eps_rel convention) so large
+        # states aren't spuriously rejected. A mis-declared 'feasible' is
+        # a safety-filter false positive — keep the default tight.
+        self.feas_tol = float(feas_tol)
+        self.feas_tol_relative = bool(feas_tol_relative)
         super().__init__(env_func, horizon, q_lin, r_lin, integration_algo,
                          warmstart, additional_constraints, use_terminal_set,
                          cost_function, **kwargs)
@@ -97,11 +105,12 @@ class LINEAR_MPSC(MPSC):
         self.dynamics_func = dynamics_func
 
     def _dynamics_for_residual(self, x0_delta, u):
-        """x_next prediction used for residual collection (learn())."""
-        if self.integration_algo == 'LTI':
-            return np.asarray(self.dynamics_func(
-                jnp.asarray(x0_delta, jnp.float32),
-                jnp.asarray(u - self.U_EQ, jnp.float32)))
+        """x_next prediction used for residual collection (learn()).
+
+        Both integration modes consume delta inputs v = u - U_EQ: the LTI
+        map is defined in delta coordinates, and the rk4 closure adds U_EQ
+        back internally (set_dynamics above) — so a single call serves
+        both."""
         return np.asarray(self.dynamics_func(
             jnp.asarray(x0_delta, jnp.float32),
             jnp.asarray(u - self.U_EQ, jnp.float32)))
@@ -351,8 +360,9 @@ class LINEAR_MPSC(MPSC):
             q = jnp.zeros((n_z,), jnp.float32)
             q = q.at[:nx].set(q_d[:nx])
             q = q.at[nZ:nZ + nu].set(q_d[nx:])
+            # Budgeted with early exit at 0.1*feas_tol (see ops/qp.py).
             sol = admm_qp(P_qp_j, q, A_mat, l, u, x0=z_ws, y0=y_ws,
-                          iters=qp_iters)
+                          iters=qp_iters, tol=0.1 * float(self.feas_tol))
             Z_new = sol.x[:nZ].reshape(H + 1, nx)
             V_new = sol.x[nZ:nZ + nV].reshape(H, nu)
             return Z_new, V_new, sol.x, sol.y, sol.prim_res
@@ -409,7 +419,11 @@ class LINEAR_MPSC(MPSC):
             z_ws = jnp.zeros((self._n_z,), jnp.float32)
             y_ws = jnp.zeros((self._m_rows,), jnp.float32)
         Z, V, z, y, res = self._solve_jit(x_init, u_L, Z0, V0, z_ws, y_ws)
-        feasible = bool(np.isfinite(float(res)) and float(res) < 5e-3)
+        tol = self.feas_tol
+        if self.feas_tol_relative:
+            tol = tol * max(1.0, float(np.max(np.abs(obs))),
+                            float(np.max(np.abs(np.asarray(u_L)))))
+        feasible = bool(np.isfinite(float(res)) and float(res) < tol)
         if not feasible:
             return None, False
         self.z_prev = np.asarray(Z).T
