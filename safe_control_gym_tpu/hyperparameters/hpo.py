@@ -26,7 +26,9 @@ import yaml
 from safe_control_gym_tpu.experiments.base_experiment import BaseExperiment
 from safe_control_gym_tpu.hyperparameters.hpo_sampler import \
     HYPERPARAMS_SAMPLER
-from safe_control_gym_tpu.hyperparameters.study import create_study
+from safe_control_gym_tpu.hyperparameters.study import (MedianPruner,
+                                                        TrialPruned,
+                                                        create_study)
 from safe_control_gym_tpu.math.metrics import compute_cvar
 from safe_control_gym_tpu.utils.registration import make
 
@@ -57,46 +59,98 @@ class HPO:
         self.n_episodes = int(self.hpo_config.get('n_episodes', 5))
         self.cvar_alpha = float(self.hpo_config.get('alpha', 0.5))
         self.hps_config = self.hpo_config.get('hps_config', {})
+        # Pruning + adaptive repetitions (reference hpo.py:27-60 configures
+        # a MedianPruner; :149-158 adds dynamical extra runs near the
+        # incumbent to fight maximization bias).
+        self.use_pruner = bool(self.hpo_config.get('prune', True))
+        self.dynamical_runs = bool(self.hpo_config.get('dynamical_runs',
+                                                       False))
+        self.warm_trials = int(self.hpo_config.get('warm_trials', 5))
+        self.approximation_threshold = float(
+            self.hpo_config.get('approximation_threshold', 5.0))
+        self.max_extra_repetitions = int(
+            self.hpo_config.get('max_extra_repetitions', 4))
         os.makedirs(output_dir, exist_ok=True)
+        pruner = (MedianPruner(
+            n_startup_trials=int(self.hpo_config.get('pruner_startup_trials',
+                                                     5)),
+            n_warmup_steps=int(self.hpo_config.get('pruner_warmup_steps', 0)))
+            if self.use_pruner else None)
         self.study = create_study(
             study_name=f'{algo}_hpo', direction='maximize', sampler=sampler,
             seed=int(self.hpo_config.get('seed', 0)),
-            storage_path=os.path.join(output_dir, 'study.json'))
+            storage_path=os.path.join(output_dir, 'study.json'),
+            pruner=pruner)
 
     # ------------------------------------------------------------------
+    def _one_repetition(self, trial, rep) -> list:
+        """Train + evaluate once; returns the episode-return list."""
+        seed = 1000 * (trial.number + 1) + rep
+        env_func = partial(make, self.task, seed=seed, **self.task_config)
+        cfg = {**self.algo_config, **self._suggestion}
+        ctrl = make(self.algo, env_func, seed=seed,
+                    output_dir=os.path.join(
+                        self.output_dir, f'trial_{trial.number}'),
+                    **cfg)
+        if hasattr(ctrl, 'reset'):
+            ctrl.reset()
+        ctrl.learn()
+        if hasattr(ctrl, 'run'):
+            res = ctrl.run(n_episodes=self.n_episodes)
+            out = np.asarray(res['ep_returns']).tolist()
+        else:
+            exp = BaseExperiment(env_func(), ctrl)
+            _, metrics = exp.run_evaluation(n_episodes=self.n_episodes,
+                                            verbose=False)
+            out = [float(metrics['average_return'])]
+        ctrl.close()
+        return out
+
     def objective(self, trial) -> float:
-        """One trial: repeated train+eval, CVaR score (hpo.py:111-158)."""
+        """One trial: repeated train+eval, CVaR score, per-repetition
+        pruning reports, and extra repetitions near the incumbent
+        (hpo.py:111-158)."""
         sampler_fn = HYPERPARAMS_SAMPLER[self.algo]
-        suggestion = sampler_fn(self.hps_config, trial)
+        self._suggestion = sampler_fn(self.hps_config, trial)
         returns = []
+        cvar = 0.0
         try:
             for rep in range(self.n_repetitions):
-                seed = 1000 * (trial.number + 1) + rep
-                env_func = partial(make, self.task, seed=seed,
-                                   **self.task_config)
-                cfg = {**self.algo_config, **suggestion}
-                ctrl = make(self.algo, env_func, seed=seed,
-                            output_dir=os.path.join(
-                                self.output_dir, f'trial_{trial.number}'),
-                            **cfg)
-                if hasattr(ctrl, 'reset'):
-                    ctrl.reset()
-                ctrl.learn()
-                if hasattr(ctrl, 'run'):
-                    res = ctrl.run(n_episodes=self.n_episodes)
-                    returns.extend(np.asarray(res['ep_returns']).tolist())
-                else:
-                    exp = BaseExperiment(env_func(), ctrl)
-                    _, metrics = exp.run_evaluation(
-                        n_episodes=self.n_episodes, verbose=False)
-                    returns.append(float(metrics['average_return']))
-                ctrl.close()
+                returns.extend(self._one_repetition(trial, rep))
+                cvar = compute_cvar(np.asarray(returns), self.cvar_alpha,
+                                    lower_range=True)
+                # Real intermediate reporting (the reference leaves this as
+                # a TODO next to its MedianPruner, hpo.py:116).
+                trial.report(cvar, step=rep)
+                if rep + 1 < self.n_repetitions and trial.should_prune():
+                    raise TrialPruned()
+            # Extra repetitions near the incumbent: better-than-best trials
+            # get more runs until the CVaR estimate stabilizes
+            # (hpo.py:149-158 'dynamical runs').
+            if (self.dynamical_runs
+                    and len(self.study.trials) >= self.warm_trials
+                    and (self.study.best_value is None
+                         or cvar > self.study.best_value)):
+                rep = self.n_repetitions
+                while rep < self.n_repetitions + self.max_extra_repetitions:
+                    returns.extend(self._one_repetition(trial, rep))
+                    new_cvar = compute_cvar(np.asarray(returns),
+                                            self.cvar_alpha,
+                                            lower_range=True)
+                    trial.report(new_cvar, step=rep)
+                    stable = abs(new_cvar - cvar) <= \
+                        self.approximation_threshold
+                    cvar = new_cvar
+                    rep += 1
+                    if stable:
+                        break
+        except TrialPruned:
+            raise
         except Exception as e:
             # Crashed trials score 0 (hpo.py:111-133).
             print(f'[HPO] trial crashed: {e}')
             return 0.0
-        return compute_cvar(np.asarray(returns), self.cvar_alpha,
-                            lower_range=True)
+        return cvar
 
     # ------------------------------------------------------------------
     def hyperparameter_optimization(self):

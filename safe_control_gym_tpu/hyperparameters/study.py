@@ -19,7 +19,8 @@ from typing import Any, Dict, List, Optional
 
 import numpy as np
 
-__all__ = ['Trial', 'Study', 'create_study', 'HAS_OPTUNA']
+__all__ = ['Trial', 'TrialPruned', 'Study', 'MedianPruner', 'create_study',
+           'HAS_OPTUNA']
 
 try:
     import optuna  # noqa: F401
@@ -28,16 +29,63 @@ except ImportError:
     HAS_OPTUNA = False
 
 
+class TrialPruned(Exception):
+    """Raised inside an objective to stop a hopeless trial early."""
+
+
+class MedianPruner:
+    """Prune a trial whose intermediate value at step s falls below the
+    median of completed trials' intermediate values at the same step
+    (optuna.pruners.MedianPruner semantics — the pruner the reference
+    configures in hyperparameters/hpo.py:27-60; reporting the
+    intermediates, which the reference leaves as a TODO, is real here)."""
+
+    def __init__(self, n_startup_trials: int = 5, n_warmup_steps: int = 0):
+        self.n_startup_trials = int(n_startup_trials)
+        self.n_warmup_steps = int(n_warmup_steps)
+
+    def should_prune(self, step: int, value: float,
+                     history: List[Dict]) -> bool:
+        if step < self.n_warmup_steps:
+            return False
+        done = [t for t in history if t.get('state') == 'COMPLETE']
+        if len(done) < self.n_startup_trials:
+            return False
+        at_step = [t['intermediate'][str(step)] for t in done
+                   if str(step) in (t.get('intermediate') or {})]
+        if not at_step:
+            return False
+        # Intermediates are sign-normalized to lower-is-better; prune when
+        # the trial is WORSE (larger) than the median at this step.
+        return value > float(np.median(at_step))
+
+
 class Trial:
     """Parameter-suggestion context for one objective evaluation."""
 
-    def __init__(self, number: int, sampler, history: List[Dict]):
+    def __init__(self, number: int, sampler, history: List[Dict],
+                 pruner: Optional[MedianPruner] = None, sign=1.0):
         self.number = number
         self._sampler = sampler
         self._history = history
+        self._pruner = pruner
+        self._sign = sign            # -1 when the study maximizes
         self.params: Dict[str, Any] = {}
         self.value: Optional[float] = None
         self.state = 'RUNNING'
+        self.intermediate: Dict[str, float] = {}
+
+    def report(self, value: float, step: int):
+        """Record an intermediate objective value (internally sign-
+        normalized to 'lower is better' like the trial history)."""
+        self.intermediate[str(int(step))] = self._sign * float(value)
+
+    def should_prune(self) -> bool:
+        if self._pruner is None or not self.intermediate:
+            return False
+        step = max(int(k) for k in self.intermediate)
+        return self._pruner.should_prune(step, self.intermediate[str(step)],
+                                         self._history)
 
     def suggest_categorical(self, name, choices):
         v = self._sampler.sample_categorical(name, list(choices),
@@ -134,10 +182,11 @@ class Study:
     """Minimal study: sequential ask/tell with JSON persistence."""
 
     def __init__(self, study_name='study', direction='maximize',
-                 sampler=None, storage_path=None):
+                 sampler=None, storage_path=None, pruner=None):
         self.study_name = study_name
         self.direction = direction
         self.sampler = sampler or TPESampler()
+        self.pruner = pruner
         self.storage_path = storage_path
         self.trials: List[Dict] = []
         if storage_path and os.path.exists(storage_path):
@@ -149,20 +198,27 @@ class Study:
 
     def optimize(self, objective, n_trials=10, catch=()):
         for _ in range(n_trials):
-            trial = Trial(len(self.trials), self.sampler,
-                          [dict(t, value=self._sign(t['value'])
-                                if t['value'] is not None else None)
-                           for t in self.trials])
+            history = [dict(t, value=self._sign(t['value'])
+                            if t['value'] is not None else None)
+                       for t in self.trials]
+            trial = Trial(len(self.trials), self.sampler, history,
+                          pruner=self.pruner,
+                          sign=-1.0 if self.direction == 'maximize' else 1.0)
             try:
                 value = objective(trial)
                 state = 'COMPLETE'
+            except TrialPruned:
+                print(f'[HPO] trial {trial.number} pruned')
+                value = None
+                state = 'PRUNED'
             except catch as e:
                 print(f'[HPO] trial {trial.number} failed: {e}')
                 value = None
                 state = 'FAIL'
             self.trials.append({'number': trial.number,
                                 'params': trial.params, 'value': value,
-                                'state': state})
+                                'state': state,
+                                'intermediate': trial.intermediate})
             self._persist()
 
     def _persist(self):
@@ -197,8 +253,8 @@ class Study:
 
 
 def create_study(study_name='study', direction='maximize', sampler='tpe',
-                 seed=0, storage_path=None) -> Study:
+                 seed=0, storage_path=None, pruner=None) -> Study:
     s = (TPESampler(seed=seed) if sampler == 'tpe'
          else RandomSampler(seed=seed))
     return Study(study_name=study_name, direction=direction, sampler=s,
-                 storage_path=storage_path)
+                 storage_path=storage_path, pruner=pruner)
