@@ -216,6 +216,36 @@ class PPO(BaseController):
             self._env_states, self._obs = jax.vmap(self.func_env.reset)(keys)
         self.setup_results_dict()
 
+    def shard_over(self, mesh, axis_name: str = 'env'):
+        """Distribute training over a ``jax.sharding.Mesh``: env states and
+        rollout batch sharded along ``axis_name`` (data parallel), agent and
+        optimizer state replicated. Every subsequent ``learn()`` program —
+        including the ``fused_iterations`` multi-iteration scan — runs SPMD
+        over the mesh; the batch-mean gradients inside the update become
+        cross-chip psum collectives inserted by XLA from the shardings.
+        The TPU replacement for the reference's SubprocVecEnv workers."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        assert self.N % mesh.devices.size == 0, \
+            'rollout_batch_size must divide evenly over the mesh'
+        if self._env_states is None:
+            self.reset()
+        batch_sh = NamedSharding(mesh, P(axis_name))
+        repl = NamedSharding(mesh, P())
+        self._env_states = jax.device_put(
+            self._env_states,
+            jax.tree.map(lambda _: batch_sh, self._env_states))
+        self._obs = jax.device_put(self._obs, batch_sh)
+        self.agent.params = jax.device_put(
+            self.agent.params,
+            jax.tree.map(lambda _: repl, self.agent.params))
+        self.agent.actor_opt_state = jax.device_put(
+            self.agent.actor_opt_state,
+            jax.tree.map(lambda _: repl, self.agent.actor_opt_state))
+        self.agent.critic_opt_state = jax.device_put(
+            self.agent.critic_opt_state,
+            jax.tree.map(lambda _: repl, self.agent.critic_opt_state))
+        self._mesh = mesh
+
     def close(self):
         self.env.close()
         self.eval_env.close()

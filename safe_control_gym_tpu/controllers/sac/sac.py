@@ -170,6 +170,29 @@ class SAC(BaseController):
         self._env_states, self._obs = jax.vmap(self.func_env.reset)(keys)
         self.setup_results_dict()
 
+    def shard_over(self, mesh, axis_name: str = 'env'):
+        """Distribute training over a ``jax.sharding.Mesh``: env states/obs
+        sharded on the env axis, actor/critic/optimizer state replicated.
+        The replay buffer keeps its (capacity, N, dim) layout with the env
+        axis sharded, so pushes stay chip-local; batch sampling gathers
+        across the mesh via XLA collectives. Composes with
+        ``fused_iterations`` (the whole collect+train scan runs SPMD)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        assert self.N % mesh.devices.size == 0, \
+            'rollout_batch_size must divide evenly over the mesh'
+        if self._env_states is None:
+            self.reset()
+        batch_sh = NamedSharding(mesh, P(axis_name))
+        repl = NamedSharding(mesh, P())
+        self._env_states = jax.device_put(
+            self._env_states,
+            jax.tree.map(lambda _: batch_sh, self._env_states))
+        self._obs = jax.device_put(self._obs, batch_sh)
+        ts = self.agent.train_state()
+        ts = jax.device_put(ts, jax.tree.map(lambda _: repl, ts))
+        self.agent.set_train_state(ts)
+        self._mesh = mesh
+
     def close(self):
         self.env.close()
         self.eval_env.close()
