@@ -42,39 +42,34 @@ def build():
     env = make('cartpole', seed=0, ctrl_freq=CTRL_FREQ, pyb_freq=PYB_FREQ,
                episode_len_sec=5)
     func = env.func
-    reset_v = jax.vmap(func.reset)
-    step_v = jax.vmap(func.step)
 
-    def rollout(states, keys):
-        """N_STEPS control steps with uniform random actions + auto-reset."""
+    def reset_all(key):
+        return func.reset_batch(key, N_ENVS)
+
+    def rollout(states, key):
+        """N_STEPS control steps with uniform random actions + auto-reset
+        (the library's fused step_autoreset: done envs get a fresh
+        randomized init state in the same program)."""
         def body(carry, _):
             states, key = carry
             key, k_act, k_reset = jax.random.split(key, 3)
             actions = jax.random.uniform(k_act, (N_ENVS, 1),
                                          minval=-10.0, maxval=10.0)
-            states, out = step_v(states, actions)
-            # Auto-reset done envs (Brax-style, stays on device).
-            reset_keys = jax.random.split(k_reset, N_ENVS)
-            fresh_states, _ = reset_v(reset_keys)
-            states = jax.tree.map(
-                lambda f, s: jnp.where(
-                    out.done.reshape((N_ENVS,) + (1,) * (s.ndim - 1)), f, s)
-                if s.ndim >= 1 else jnp.where(out.done, f, s),
-                fresh_states, states)
+            states, out, _obs = func.step_autoreset(states, actions, k_reset)
             return (states, key), out.reward.sum()
 
-        (states, _), rewards = jax.lax.scan(body, (states, keys), None,
+        (states, _), rewards = jax.lax.scan(body, (states, key), None,
                                             length=N_STEPS)
         return states, rewards.sum()
 
+    reset_jit = jax.jit(reset_all, static_argnums=())
     rollout_jit = jax.jit(rollout, donate_argnums=(0,))
-    return reset_v, rollout_jit
+    return reset_jit, rollout_jit
 
 
 def main():
-    reset_v, rollout_jit = build()
-    keys = jax.random.split(jax.random.PRNGKey(0), N_ENVS)
-    states, _ = reset_v(keys)
+    reset_jit, rollout_jit = build()
+    states, _ = reset_jit(jax.random.PRNGKey(0))
     key = jax.random.PRNGKey(1)
     # Warmup / compile.
     states, r = rollout_jit(states, key)
@@ -82,8 +77,7 @@ def main():
     # Timed runs.
     best = 0.0
     for i in range(5):
-        keys2 = jax.random.split(jax.random.PRNGKey(2 + i), N_ENVS)
-        states, _ = reset_v(keys2)
+        states, _ = reset_jit(jax.random.PRNGKey(2 + i))
         t0 = time.perf_counter()
         states, r = rollout_jit(states, jax.random.PRNGKey(10 + i))
         jax.block_until_ready(r)

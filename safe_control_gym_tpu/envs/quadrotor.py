@@ -702,6 +702,45 @@ class Quadrotor(BenchmarkEnv):
         oob = jnp.logical_or(state < lo, state > hi)
         return jnp.any(oob * jnp.asarray(mask, jnp.float32) > 0)
 
+    def render(self, mode='rgb_array'):
+        """3D quads render an orientation-aware 3D frame (the PyBullet
+        camera's role, base_aviary.py:333-347); 1D/2D keep the parent's
+        planar rasterization."""
+        if self.QUAD_TYPE != QuadType.THREE_D:
+            return super().render(mode)
+        import matplotlib
+        matplotlib.use('Agg')
+        import matplotlib.pyplot as plt
+        from safe_control_gym_tpu.math.rotations import rot_xyz
+        fig = plt.figure(figsize=(4, 3), dpi=80)
+        ax = fig.add_subplot(111, projection='3d')
+        s = np.asarray(self.state)
+        pos = np.array([s[0], s[2], s[4]])
+        R = np.asarray(rot_xyz(s[6], s[7], s[8]))
+        arm = 0.12
+        for axis, color in ((np.array([arm, 0, 0]), 'k'),
+                            (np.array([0, arm, 0]), 'b')):
+            a = R @ axis
+            ax.plot([pos[0] - a[0], pos[0] + a[0]],
+                    [pos[1] - a[1], pos[1] + a[1]],
+                    [pos[2] - a[2], pos[2] + a[2]], color=color, lw=3)
+        up = R @ np.array([0, 0, 0.06])
+        ax.plot([pos[0], pos[0] + up[0]], [pos[1], pos[1] + up[1]],
+                [pos[2], pos[2] + up[2]], color='r', lw=2)
+        if self.TASK == Task.TRAJ_TRACKING and np.ndim(self.X_GOAL) == 2:
+            ax.plot(self.X_GOAL[:, 0], self.X_GOAL[:, 2],
+                    self.X_GOAL[:, 4], 'g--', lw=0.7)
+        elif self.TASK == Task.STABILIZATION:
+            g = np.atleast_2d(self.X_GOAL)[0]
+            ax.scatter([g[0]], [g[2]], [g[4]], color='g', marker='*', s=30)
+        ax.set_xlim(-2, 2)
+        ax.set_ylim(-2, 2)
+        ax.set_zlim(0, 2.5)
+        fig.canvas.draw()
+        frame = np.asarray(fig.canvas.buffer_rgba())[:, :, :3].copy()
+        plt.close(fig)
+        return frame
+
     def _draw_state(self, ax):
         """Draw the quadrotor (xz plane projection) for render() frames."""
         s = np.asarray(self.state)
