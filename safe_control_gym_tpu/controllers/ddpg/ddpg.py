@@ -83,8 +83,7 @@ class DDPG(BaseController):
         return k
 
     def _build_jits(self):
-        step_v = jax.vmap(self.func_env.step)
-        reset_v = jax.vmap(self.func_env.reset)
+        step_autoreset = self.func_env.step_autoreset
         N = self.N
         act_dim = self.env.action_space.shape[0]
         act_low = jnp.asarray(self.env.action_space.low, jnp.float32)
@@ -112,20 +111,16 @@ class DDPG(BaseController):
                     pol_act + ou_state_new * 0.5 * (act_high - act_low),
                     act_low, act_high)
                 act = jnp.where(random_phase, rand_act, noisy_act)
-                env_states, out = step_v(env_states, act)
+                # Step + batched auto-reset in one fused path (FuncEnv).
+                env_states, out, next_obs = step_autoreset(env_states, act,
+                                                           k_reset)
                 true_done = jnp.logical_and(out.done,
                                             jnp.logical_not(out.truncated))
                 mask = 1.0 - true_done.astype(jnp.float32)
                 buffer = replay_push(buffer, {
                     'obs': obs, 'act': act, 'rew': out.reward[:, None],
                     'next_obs': out.obs, 'mask': mask[:, None]})
-                reset_keys = jax.random.split(k_reset, N)
-                fresh_states, fresh_obs = reset_v(reset_keys)
-                env_states = jax.tree.map(
-                    lambda f, s: jnp.where(
-                        out.done.reshape((N,) + (1,) * (s.ndim - 1)), f, s),
-                    fresh_states, env_states)
-                obs = jnp.where(out.done[:, None], fresh_obs, out.obs)
+                obs = next_obs
                 # Reset OU state for finished envs.
                 ou_reset = jnp.where(out.done[:, None], 0.0, ou_state_new)
                 return (env_states, obs, buffer, ou_reset, key), out.reward

@@ -90,8 +90,6 @@ class PPO(BaseController):
 
     def _make_rollout(self):
         """Fused on-device rollout: T steps x N envs + GAE."""
-        step_v = jax.vmap(self.func_env.step)
-        reset_v = jax.vmap(self.func_env.reset)
         norm_obs = bool(self.norm_obs)
         norm_reward = bool(self.norm_reward)
         clip_obs = float(self.clip_obs)
@@ -101,6 +99,8 @@ class PPO(BaseController):
         gae_lambda = float(self.gae_lambda)
         activation = self.agent.activation
         N, T = self.N, self.T
+
+        step_autoreset = self.func_env.step_autoreset
 
         def rollout(params, env_states, obs, obs_norm, ret_state, key):
             def body(carry, _):
@@ -115,7 +115,10 @@ class PPO(BaseController):
                 act = dist.sample(k_act)
                 logp = dist.log_prob(act)
                 v = critic_value(params, obs_n, activation)
-                env_states, out = step_v(env_states, act)
+                # Step + batched auto-reset in one fused path (the cheap
+                # reset only re-randomizes init state; see FuncEnv).
+                env_states, out, next_obs = step_autoreset(env_states, act,
+                                                           k_reset)
                 rew = out.reward
                 if norm_reward:
                     ret_state = ret_update(ret_state, rew, out.done, gamma)
@@ -128,15 +131,6 @@ class PPO(BaseController):
                               if norm_obs else out.obs)
                 term_v = critic_value(params, term_obs_n, activation)
                 terminal_v = jnp.where(out.truncated[:, None], term_v, 0.0)
-                # Auto-reset done envs.
-                reset_keys = jax.random.split(k_reset, N)
-                fresh_states, fresh_obs = reset_v(reset_keys)
-                done_b = out.done
-                env_states = jax.tree.map(
-                    lambda f, s: jnp.where(
-                        done_b.reshape((N,) + (1,) * (s.ndim - 1)), f, s),
-                    fresh_states, env_states)
-                next_obs = jnp.where(done_b[:, None], fresh_obs, out.obs)
                 ys = (obs_n, act, rew_n[:, None], mask[:, None], v, logp,
                       terminal_v, rew, out.done, out.mse,
                       out.constraint_violation)

@@ -56,8 +56,7 @@ class RAP(RARL):
                             *[a.params for a in self.adversaries])
 
     def _build_pop_rollout(self):
-        step_v = jax.vmap(self.func_env.step)
-        reset_v = jax.vmap(self.func_env.reset)
+        step_autoreset = self.func_env.step_autoreset
         N, T = self.N, self.T
         activation = self.agent.activation
         gamma = self.gamma
@@ -91,17 +90,11 @@ class RAP(RARL):
                 padded = jnp.zeros((N, adv_dim)).at[:, :adv_force.shape[1]].set(adv_force)
                 env_states = env_states.replace(
                     adv_action=padded, adv_valid=jnp.ones((N,), bool))
-                env_states, out = step_v(env_states, p_act)
+                env_states, out, next_obs = step_autoreset(env_states,
+                                                           p_act, k_reset)
                 mask = 1.0 - out.done.astype(jnp.float32)
                 term_pv = critic_value(prot_params, out.obs, activation)
                 terminal_pv = jnp.where(out.truncated[:, None], term_pv, 0.0)
-                reset_keys = jax.random.split(k_reset, N)
-                fresh_states, fresh_obs = reset_v(reset_keys)
-                env_states = jax.tree.map(
-                    lambda f, s: jnp.where(
-                        out.done.reshape((N,) + (1,) * (s.ndim - 1)), f, s),
-                    fresh_states, env_states)
-                next_obs = jnp.where(out.done[:, None], fresh_obs, out.obs)
                 ys = (obs, p_act, a_act, out.reward[:, None], mask[:, None],
                       p_v, a_v, p_logp, a_logp, terminal_pv, out.reward)
                 return (env_states, next_obs, key), ys

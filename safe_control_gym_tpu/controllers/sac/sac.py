@@ -77,8 +77,7 @@ class SAC(BaseController):
         return k
 
     def _build_jits(self):
-        step_v = jax.vmap(self.func_env.step)
-        reset_v = jax.vmap(self.func_env.reset)
+        step_autoreset = self.func_env.step_autoreset
         N = self.N
         act_dim = self.env.action_space.shape[0]
         act_low = jnp.asarray(self.env.action_space.low, jnp.float32)
@@ -98,7 +97,9 @@ class SAC(BaseController):
                     actor_params, obs, k_act, act_low, act_high, activation,
                     with_logprob=False)
                 act = jnp.where(random_phase, rand_act, pol_act)
-                env_states, out = step_v(env_states, act)
+                # Step + batched auto-reset in one fused path (FuncEnv).
+                env_states, out, next_obs = step_autoreset(env_states, act,
+                                                           k_reset)
                 # True terminal next-obs with mask=1 on truncation
                 # (sac.py:287-305): mask=0 only on true termination.
                 true_done = jnp.logical_and(out.done,
@@ -107,13 +108,7 @@ class SAC(BaseController):
                 buffer = replay_push(buffer, {
                     'obs': obs, 'act': act, 'rew': out.reward[:, None],
                     'next_obs': out.obs, 'mask': mask[:, None]})
-                reset_keys = jax.random.split(k_reset, N)
-                fresh_states, fresh_obs = reset_v(reset_keys)
-                env_states = jax.tree.map(
-                    lambda f, s: jnp.where(
-                        out.done.reshape((N,) + (1,) * (s.ndim - 1)), f, s),
-                    fresh_states, env_states)
-                obs = jnp.where(out.done[:, None], fresh_obs, out.obs)
+                obs = next_obs
                 return (env_states, obs, buffer, key), out.reward
 
             (env_states, obs, buffer, key), rews = jax.lax.scan(

@@ -86,8 +86,7 @@ class SafeExplorerPPO(BaseController):
 
     # ------------------------------------------------------------------
     def _build_jits(self):
-        step_v = jax.vmap(self.func_env.step)
-        reset_v = jax.vmap(self.func_env.reset)
+        step_autoreset = self.func_env.step_autoreset
         N, T = self.N, self.T
         act_dim = self.env.action_space.shape[0]
         act_low = jnp.asarray(self.env.action_space.low, jnp.float32)
@@ -109,20 +108,14 @@ class SafeExplorerPPO(BaseController):
         # -- pretraining collection: random actions ----------------------
         def pretrain_collect(env_states, obs, c, key, n_steps):
             def body(carry, _):
-                env_states, obs, c, key = carry
+                env_states, obs_prev, c, key = carry
                 key, k_act, k_reset = jax.random.split(key, 3)
                 act = jax.random.uniform(k_act, (N, act_dim), minval=act_low,
                                          maxval=act_high)
-                env_states, out = step_v(env_states, act)
+                env_states, out, obs = step_autoreset(env_states, act,
+                                                       k_reset)
                 c_next = out.constraint_values
-                ys = (obs, act, c, c_next)
-                reset_keys = jax.random.split(k_reset, N)
-                fresh_states, fresh_obs = reset_v(reset_keys)
-                env_states = jax.tree.map(
-                    lambda f, s: jnp.where(
-                        out.done.reshape((N,) + (1,) * (s.ndim - 1)), f, s),
-                    fresh_states, env_states)
-                obs = jnp.where(out.done[:, None], fresh_obs, out.obs)
+                ys = (obs_prev, act, c, c_next)
                 c = jnp.where(out.done[:, None],
                               c_of_state_v(env_states.state), c_next)
                 return (env_states, obs, c, key), ys
@@ -144,17 +137,11 @@ class SafeExplorerPPO(BaseController):
                 act = get_safe(safety_params, obs, raw_act, c)
                 logp = dist.log_prob(act)
                 v = critic_value(agent_params, obs, activation)
-                env_states, out = step_v(env_states, act)
+                env_states, out, next_obs = step_autoreset(env_states, act,
+                                                           k_reset)
                 mask = 1.0 - out.done.astype(jnp.float32)
                 term_v = critic_value(agent_params, out.obs, activation)
                 terminal_v = jnp.where(out.truncated[:, None], term_v, 0.0)
-                reset_keys = jax.random.split(k_reset, N)
-                fresh_states, fresh_obs = reset_v(reset_keys)
-                env_states = jax.tree.map(
-                    lambda f, s: jnp.where(
-                        out.done.reshape((N,) + (1,) * (s.ndim - 1)), f, s),
-                    fresh_states, env_states)
-                next_obs = jnp.where(out.done[:, None], fresh_obs, out.obs)
                 c_next = jnp.where(out.done[:, None],
                                    c_of_state_v(env_states.state),
                                    out.constraint_values)
