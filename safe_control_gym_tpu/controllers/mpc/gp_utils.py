@@ -294,24 +294,66 @@ class GaussianProcessCollection:
 
     def train(self, train_x, train_y, test_x=None, test_y=None,
               n_train=500, learning_rate=0.01, verbose=False,
-              capacity=None, **kwargs):
+              capacity=None, vectorized=True, **kwargs):
         """Train all per-dim GPs (gp_utils.py:328-430 semantics). With
-        ``capacity`` each GP reserves padded slots for online updates."""
+        ``capacity`` each GP reserves padded slots for online updates.
+
+        ``vectorized`` trains ALL output dims as one stacked parameter
+        pytree under a single vmapped+jitted Adam loop — the TPU-native
+        form of the reference's batched/multitask GP models
+        (gp_utils.py:62-215: BatchIndependentMultitaskGPModel trains D
+        independent GPs in one torch batch). One program, one dispatch,
+        per-dim results identical to the sequential path."""
         train_x = np.asarray(train_x)
         train_y = np.asarray(train_y)
         if self.input_mask is not None:
             train_x = train_x[:, self.input_mask]
         if self.target_mask is not None:
             train_y = train_y[:, self.target_mask]
-        self.gps = []
-        losses = []
-        for d in range(train_y.shape[1]):
-            gp = GaussianProcess(train_x.shape[1], kernel=self.kernel_name)
-            losses.append(gp.train(train_x, train_y[:, d], n_train=n_train,
-                                   learning_rate=learning_rate))
-            if capacity is not None:
+        D = train_y.shape[1]
+        self.gps = [GaussianProcess(train_x.shape[1], kernel=self.kernel_name)
+                    for _ in range(D)]
+        if not vectorized:
+            losses = [gp.train(train_x, train_y[:, d], n_train=n_train,
+                               learning_rate=learning_rate)
+                      for d, gp in enumerate(self.gps)]
+        else:
+            X = jnp.asarray(train_x, jnp.float32)
+            Y = jnp.asarray(train_y, jnp.float32)      # (N, D)
+            kernel_fn = self.gps[0].kernel_fn
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                   *[gp.params for gp in self.gps])
+            opt = optax.adam(learning_rate)
+
+            @jax.jit
+            @full_matmul_precision
+            def run(params_stack):
+                def one_dim(params, y):
+                    state = opt.init(params)
+
+                    def body(carry, _):
+                        params, state = carry
+                        loss, g = jax.value_and_grad(_nll)(params, X, y,
+                                                           kernel_fn)
+                        updates, state = opt.update(g, state)
+                        params = optax.apply_updates(params, updates)
+                        return (params, state), loss
+
+                    (params, _), ls = jax.lax.scan(
+                        body, (params, state), None, length=n_train)
+                    return params, ls[-1]
+
+                return jax.vmap(one_dim, in_axes=(0, 1))(params_stack, Y)
+
+            params_stack, last_losses = run(stacked)
+            losses = [float(l) for l in np.asarray(last_losses)]
+            for d, gp in enumerate(self.gps):
+                gp.params = jax.tree.map(lambda x: x[d], params_stack)
+                gp.X, gp.Y = X, Y[:, d]
+                gp._precompute()
+        if capacity is not None:
+            for gp in self.gps:
                 gp.pad_capacity(int(capacity))
-            self.gps.append(gp)
         return losses
 
     def predict(self, x_star, return_pred=False):

@@ -115,3 +115,23 @@ def test_online_learning_updates_without_recompile():
     assert int(np.sum(np.asarray(gp0._point_noise) == 0.0)) <= 38
     env.close()
     ctrl.close()
+
+
+def test_vectorized_gp_training_matches_sequential():
+    """The vmapped all-dims-in-one-program training (the reference's
+    batched/multitask GP role, gp_utils.py:62-215) is numerically the
+    sequential per-dim path."""
+    from safe_control_gym_tpu.controllers.mpc.gp_utils import \
+        GaussianProcessCollection
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(40, 3)).astype(np.float32)
+    Y = (0.1 * rng.normal(size=(40, 2))).astype(np.float32)
+    c_vec = GaussianProcessCollection(target_dim=2, kernel='Matern')
+    c_seq = GaussianProcessCollection(target_dim=2, kernel='Matern')
+    l_vec = c_vec.train(X, Y, n_train=100, vectorized=True)
+    l_seq = c_seq.train(X, Y, n_train=100, vectorized=False)
+    assert np.allclose(l_vec, l_seq, atol=1e-3), (l_vec, l_seq)
+    m_vec, v_vec = c_vec.predict(X[:7])
+    m_seq, v_seq = c_seq.predict(X[:7])
+    assert np.allclose(m_vec, m_seq, atol=1e-4)
+    assert np.allclose(v_vec, v_seq, atol=1e-4)
