@@ -108,13 +108,8 @@ def measure_batched(system, constrained, batch=4096, n_steps=4096):
             key, k_act, k_reset = jax.random.split(key, 3)
             actions = jax.random.uniform(k_act, (batch, act_dim),
                                          minval=lo, maxval=hi)
-            states, out = step_v(states, actions)
-            reset_keys = jax.random.split(k_reset, batch)
-            fresh, _ = reset_v(reset_keys)
-            states = jax.tree.map(
-                lambda f, s: jnp.where(
-                    out.done.reshape((batch,) + (1,) * (s.ndim - 1)), f, s),
-                fresh, states)
+            # Fused step + batched auto-reset (FuncEnv.step_autoreset).
+            states, out, _obs = func.step_autoreset(states, actions, k_reset)
             # Per-step reduction keeps the scan output O(T), not O(T x B).
             return (states, key), out.reward.sum()
 
@@ -123,14 +118,13 @@ def measure_batched(system, constrained, batch=4096, n_steps=4096):
         return states, rewards.sum()
 
     rollout_jit = jax.jit(rollout, donate_argnums=(0,))
-    keys = jax.random.split(jax.random.PRNGKey(0), batch)
-    states, _ = reset_v(keys)
+    reset_batch_jit = jax.jit(lambda k: func.reset_batch(k, batch))
+    states, _ = reset_batch_jit(jax.random.PRNGKey(0))
     states, r = rollout_jit(states, jax.random.PRNGKey(1))
     jax.block_until_ready(r)
     best = float('inf')
     for i in range(3):
-        keys = jax.random.split(jax.random.PRNGKey(2 + i), batch)
-        states, _ = reset_v(keys)
+        states, _ = reset_batch_jit(jax.random.PRNGKey(2 + i))
         t0 = time.perf_counter()
         states, r = rollout_jit(states, jax.random.PRNGKey(10 + i))
         jax.block_until_ready(r)

@@ -1,7 +1,10 @@
 """Study storage management — parity role of hyperparameters/database.py
 (53 LoC reference: MySQL study-database create/drop helpers).
 
-The TPU build persists studies as JSON files (study.py); these helpers
+The TPU build persists studies as fcntl-locked JSON files (study.py):
+multiple HPO worker processes can share one study — each optimize()
+iteration merges the other workers' trials by uid under the lock before
+sampling, the role the reference's MySQL server plays. These helpers
 manage that storage with the same create/drop API surface.
 """
 

@@ -11,10 +11,12 @@ Study state persists to JSON (the MySQL storage role).
 
 from __future__ import annotations
 
+import fcntl
 import json
 import math
 import os
 import random
+import uuid
 from typing import Any, Dict, List, Optional
 
 import numpy as np
@@ -198,6 +200,10 @@ class Study:
 
     def optimize(self, objective, n_trials=10, catch=()):
         for _ in range(n_trials):
+            # Pull other workers' finished trials so the sampler/pruner see
+            # the shared study state (the reference's MySQL storage role,
+            # hyperparameters/database.py).
+            self.refresh()
             history = [dict(t, value=self._sign(t['value'])
                             if t['value'] is not None else None)
                        for t in self.trials]
@@ -215,18 +221,62 @@ class Study:
                 print(f'[HPO] trial {trial.number} failed: {e}')
                 value = None
                 state = 'FAIL'
-            self.trials.append({'number': trial.number,
+            self.trials.append({'uid': uuid.uuid4().hex,
+                                'number': trial.number,
                                 'params': trial.params, 'value': value,
                                 'state': state,
                                 'intermediate': trial.intermediate})
             self._persist()
 
+    # -- shared JSON storage with file locking --------------------------
+    # Multiple worker PROCESSES can share one study: every read/write takes
+    # an fcntl lock on a sidecar file and merges trials by uid, replacing
+    # the MySQL server the reference coordinates workers through.
+    def _locked(self, mode):
+        lock_path = self.storage_path + '.lock'
+        os.makedirs(os.path.dirname(self.storage_path) or '.', exist_ok=True)
+        lf = open(lock_path, 'w')
+        fcntl.flock(lf, mode)
+        return lf
+
+    def _read_disk(self):
+        try:
+            with open(self.storage_path) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return []
+
+    def _merge(self, disk):
+        seen = {}
+        for t in list(disk) + list(self.trials):
+            seen[t.get('uid', f"n{t['number']}")] = t
+        merged = list(seen.values())
+        for i, t in enumerate(merged):
+            t['number'] = i
+        self.trials = merged
+
+    def refresh(self):
+        """Merge trials other workers persisted since our last sync."""
+        if not self.storage_path:
+            return
+        lf = self._locked(fcntl.LOCK_SH)
+        try:
+            self._merge(self._read_disk())
+        finally:
+            lf.close()
+
     def _persist(self):
-        if self.storage_path:
-            os.makedirs(os.path.dirname(self.storage_path) or '.',
-                        exist_ok=True)
-            with open(self.storage_path, 'w') as f:
+        if not self.storage_path:
+            return
+        lf = self._locked(fcntl.LOCK_EX)
+        try:
+            self._merge(self._read_disk())
+            tmp = self.storage_path + '.tmp'
+            with open(tmp, 'w') as f:
                 json.dump(self.trials, f, indent=1)
+            os.replace(tmp, self.storage_path)
+        finally:
+            lf.close()
 
     @property
     def best_trial(self):
