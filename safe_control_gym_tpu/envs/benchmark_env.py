@@ -790,6 +790,48 @@ class BenchmarkEnv(gym.Env):
     def _draw_state(self, ax):
         ax.text(0.5, 0.5, str(np.round(self.state, 2)), ha='center')
 
+    def _plot_trajectory(self, traj_type, traj_plane, traj_length,
+                         num_cycles, pos_ref_traj, vel_ref_traj, speed_traj,
+                         save_path=None):
+        """Debug plot of a generated reference trajectory: per-axis
+        position/velocity panels + a 3D projection (benchmark_env.py:715-780).
+        Headless: saves to ``save_path`` (default: the plot figure is
+        returned, not shown)."""
+        import matplotlib
+        matplotlib.use('Agg')
+        import matplotlib.pyplot as plt
+        pos_ref_traj = np.asarray(pos_ref_traj)
+        vel_ref_traj = np.asarray(vel_ref_traj)
+        speed_traj = np.asarray(speed_traj)
+        print(f'Trajectory type: {traj_type}')
+        print(f'Trajectory plane: {traj_plane}')
+        print(f'Trajectory length: {traj_length} sec')
+        print(f'Number of cycles: {num_cycles}')
+        print(f'Trajectory period: {traj_length / num_cycles:.2f} sec')
+        print('Speed: min %.2f m/s max %.2f m/s mean %.2f' %
+              (speed_traj.min(), speed_traj.max(), speed_traj.mean()))
+        fig = plt.figure(figsize=(9, 6))
+        t = np.linspace(0.0, traj_length, pos_ref_traj.shape[0],
+                        endpoint=False)
+        for i, lab in enumerate('xyz'):
+            ax = fig.add_subplot(3, 3, 3 * i + 1)
+            ax.plot(t, pos_ref_traj[:, i])
+            ax.set_ylabel(f'pos {lab} (m)')
+            ax = fig.add_subplot(3, 3, 3 * i + 2)
+            ax.plot(t, vel_ref_traj[:, i])
+            ax.set_ylabel(f'vel {lab} (m/s)')
+        ax3d = fig.add_subplot(1, 3, 3, projection='3d')
+        ax3d.plot(pos_ref_traj[:, 0], pos_ref_traj[:, 1], pos_ref_traj[:, 2])
+        ax3d.set_xlabel('x [m]')
+        ax3d.set_ylabel('y [m]')
+        ax3d.set_zlabel('z [m]')
+        fig.tight_layout()
+        if save_path:
+            fig.savefig(save_path, dpi=90)
+            plt.close(fig)
+            return save_path
+        return fig
+
     # Properties for parity.
     @property
     def state_dim(self):
