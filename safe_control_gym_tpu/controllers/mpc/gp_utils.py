@@ -27,7 +27,8 @@ import optax
 from safe_control_gym_tpu.math.linalg import full_matmul_precision
 
 __all__ = ['cov_se_ard', 'cov_matern52_ard', 'GaussianProcess',
-           'GaussianProcessCollection', 'kmeans_centriods']
+           'GaussianProcessCollection', 'BatchGaussianProcess',
+           'kmeans_centriods']
 
 
 def cov_se_ard(x1, x2, lengthscales, signal_var):
@@ -279,6 +280,178 @@ class GaussianProcess:
         self._precompute()
 
 
+class BatchGaussianProcess:
+    """All output dims as ONE stacked parameter pytree — the TPU-native form
+    of the reference's batched multitask GP stack (``BatchGPModel``,
+    gp_utils.py:589-893, wrapping ``BatchIndependentMultitaskGPModel``,
+    gp_utils.py:62-120: gpytorch ``batch_shape=D`` training of D independent
+    GPs in one torch program).
+
+    Every leaf of ``params`` carries a leading (D,) axis; training, posterior
+    caching, and prediction are single vmapped+jitted programs, so D output
+    dims cost one dispatch instead of D. With test data provided, training
+    keeps the best-test-marginal-likelihood iterate per dim (the reference's
+    best-model checkpointing, gp_utils.py:731-793 / :998-1090)."""
+
+    def __init__(self, input_dim, target_dim, input_mask=None,
+                 target_mask=None, kernel='Matern'):
+        self.input_dim = int(input_dim)
+        self.target_dim = int(target_dim)
+        self.input_mask = input_mask
+        self.target_mask = target_mask
+        self.kernel_name = kernel
+        self.kernel_fn = _KERNELS[kernel]
+        D, din = self.target_dim, self.input_dim
+        self.params = {
+            'log_lengthscales': jnp.zeros((D, din)),
+            'log_signal_var': jnp.zeros((D,)),
+            'log_noise_var': jnp.full((D,), jnp.log(0.1)),
+        }
+        self.X = None          # (N, din) — shared across output dims
+        self.Y = None          # (N, D)
+        self._chol = None      # (D, N, N)
+        self._alpha = None     # (D, N)
+
+    def _apply_masks(self, X, Y=None):
+        X = np.atleast_2d(np.asarray(X))
+        if self.input_mask is not None:
+            X = X[:, self.input_mask]
+        if Y is None:
+            return X
+        Y = np.atleast_2d(np.asarray(Y))
+        if self.target_mask is not None:
+            Y = Y[:, self.target_mask]
+        return X, Y
+
+    def train(self, train_x, train_y, test_x=None, test_y=None,
+              n_train=500, learning_rate=0.01, verbose=False, **kwargs):
+        """One vmapped Adam loop over all D output dims (BatchGPModel.train,
+        gp_utils.py:688-793). Returns the per-dim final (or best-test)
+        training losses."""
+        train_x, train_y = self._apply_masks(train_x, train_y)
+        X = jnp.asarray(train_x, jnp.float32)
+        Y = jnp.asarray(train_y, jnp.float32)
+        has_test = test_x is not None and test_y is not None
+        if has_test:
+            test_x, test_y = self._apply_masks(test_x, test_y)
+            Xt = jnp.asarray(test_x, jnp.float32)
+            Yt = jnp.asarray(test_y, jnp.float32)
+        kernel_fn = self.kernel_fn
+        opt = optax.adam(learning_rate)
+
+        @jax.jit
+        @full_matmul_precision
+        def run(params_stack):
+            def one_dim(params, y, yt):
+                state = opt.init(params)
+                init = (params, state, params, jnp.asarray(jnp.inf))
+
+                def body(carry, _):
+                    params, state, best_p, best_l = carry
+                    loss, g = jax.value_and_grad(_nll)(params, X, y,
+                                                       kernel_fn)
+                    updates, state = opt.update(g, state)
+                    params = optax.apply_updates(params, updates)
+                    # Track the iterate with the best held-out marginal
+                    # likelihood (reference keeps the best-test-loss model,
+                    # gp_utils.py:769-793). Without test data this carry is
+                    # unused and the final iterate wins.
+                    track = _nll(params, Xt, yt, kernel_fn) if has_test \
+                        else loss
+                    better = track < best_l
+                    best_p = jax.tree.map(
+                        lambda b, p: jnp.where(better, p, b), best_p, params)
+                    best_l = jnp.where(better, track, best_l)
+                    return (params, state, best_p, best_l), loss
+
+                (params, _, best_p, _), losses = jax.lax.scan(
+                    body, init, None, length=n_train)
+                out = best_p if has_test else params
+                return out, losses[-1]
+
+            yt_stack = Yt if has_test else Y  # same (N?,D) leading split
+            return jax.vmap(one_dim, in_axes=(0, 1, 1))(
+                params_stack, Y, yt_stack)
+
+        self.params, last_losses = run(self.params)
+        self.X, self.Y = X, Y
+        self._precompute()
+        return [float(l) for l in np.asarray(last_losses)]
+
+    def _precompute(self):
+        """Vmapped K+sigma^2 I factorization over output dims
+        (_compute_GP_covariances, gp_utils.py:640-654)."""
+        X, Y = self.X, self.Y
+        kernel_fn = self.kernel_fn
+
+        @full_matmul_precision
+        def one_dim(params, y):
+            ls = jnp.exp(params['log_lengthscales'])
+            sv = jnp.exp(params['log_signal_var'])
+            nv = jnp.exp(params['log_noise_var'])
+            K = kernel_fn(X, X, ls, sv) + (nv + 1e-6) * jnp.eye(X.shape[0])
+            L = jnp.linalg.cholesky(K)
+            return L, jax.scipy.linalg.cho_solve((L, True), y)
+
+        self._chol, self._alpha = jax.vmap(one_dim, in_axes=(0, 1))(
+            self.params, Y)
+
+    @full_matmul_precision
+    def predict(self, x_star, return_pred=False):
+        """Stacked posterior mean/variance, one vmapped program
+        (BatchGPModel.predict, gp_utils.py:795-824). Returns
+        (means (n, D), variances (n, D))."""
+        x_star = self._apply_masks(x_star)
+        xs = jnp.atleast_2d(jnp.asarray(x_star, jnp.float32))
+        X = self.X
+        kernel_fn = self.kernel_fn
+
+        def one_dim(params, L, alpha):
+            ls = jnp.exp(params['log_lengthscales'])
+            sv = jnp.exp(params['log_signal_var'])
+            k_star = kernel_fn(xs, X, ls, sv)
+            mean = k_star @ alpha
+            v = jax.scipy.linalg.cho_solve((L, True), k_star.T)
+            return mean, sv - jnp.sum(k_star * v.T, axis=1)
+
+        means, variances = jax.vmap(one_dim)(self.params, self._chol,
+                                             self._alpha)
+        return np.asarray(means.T), np.asarray(variances.T)
+
+    def make_batched_predict_func(self):
+        """Pure mean function z -> (D,) residual vector in one vmapped
+        computation (the batched casadi_predict export's role,
+        gp_utils.py:826-860)."""
+        X, alpha = self.X, self._alpha
+        ls = jnp.exp(self.params['log_lengthscales'])
+        sv = jnp.exp(self.params['log_signal_var'])
+        kernel_fn = self.kernel_fn
+        input_mask = (jnp.asarray(self.input_mask, jnp.int32)
+                      if self.input_mask is not None else None)
+
+        @full_matmul_precision
+        def mean_fn(z):
+            zz = jnp.asarray(z, jnp.float32).reshape(-1)
+            if input_mask is not None:
+                zz = zz[input_mask]
+            k = jax.vmap(lambda l, s: kernel_fn(zz[None], X, l, s)[0])(
+                ls, sv)                                  # (D, N)
+            return jnp.sum(k * alpha, axis=1)
+
+        return mean_fn
+
+    def state_dict(self):
+        return {'params': jax.tree.map(np.asarray, self.params),
+                'X': np.asarray(self.X), 'Y': np.asarray(self.Y)}
+
+    def load_state_dict(self, sd):
+        """init_with_hyperparam's role (gp_utils.py:656-686)."""
+        self.params = jax.tree.map(jnp.asarray, sd['params'])
+        self.X = jnp.asarray(sd['X'])
+        self.Y = jnp.asarray(sd['Y'])
+        self._precompute()
+
+
 class GaussianProcessCollection:
     """One GP per target dim with vmapped training
     (gp_utils.py:218-586 parity)."""
@@ -318,38 +491,22 @@ class GaussianProcessCollection:
                                learning_rate=learning_rate)
                       for d, gp in enumerate(self.gps)]
         else:
-            X = jnp.asarray(train_x, jnp.float32)
-            Y = jnp.asarray(train_y, jnp.float32)      # (N, D)
-            kernel_fn = self.gps[0].kernel_fn
-            stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
-                                   *[gp.params for gp in self.gps])
-            opt = optax.adam(learning_rate)
-
-            @jax.jit
-            @full_matmul_precision
-            def run(params_stack):
-                def one_dim(params, y):
-                    state = opt.init(params)
-
-                    def body(carry, _):
-                        params, state = carry
-                        loss, g = jax.value_and_grad(_nll)(params, X, y,
-                                                           kernel_fn)
-                        updates, state = opt.update(g, state)
-                        params = optax.apply_updates(params, updates)
-                        return (params, state), loss
-
-                    (params, _), ls = jax.lax.scan(
-                        body, (params, state), None, length=n_train)
-                    return params, ls[-1]
-
-                return jax.vmap(one_dim, in_axes=(0, 1))(params_stack, Y)
-
-            params_stack, last_losses = run(stacked)
-            losses = [float(l) for l in np.asarray(last_losses)]
+            # Delegate to the batched model (masks already applied above).
+            batch = BatchGaussianProcess(train_x.shape[1], D,
+                                         kernel=self.kernel_name)
+            if test_x is not None:
+                test_x = np.asarray(test_x)
+                test_y = np.asarray(test_y)
+                if self.input_mask is not None:
+                    test_x = test_x[:, self.input_mask]
+                if self.target_mask is not None:
+                    test_y = test_y[:, self.target_mask]
+            losses = batch.train(train_x, train_y, test_x=test_x,
+                                 test_y=test_y, n_train=n_train,
+                                 learning_rate=learning_rate)
             for d, gp in enumerate(self.gps):
-                gp.params = jax.tree.map(lambda x: x[d], params_stack)
-                gp.X, gp.Y = X, Y[:, d]
+                gp.params = jax.tree.map(lambda x: x[d], batch.params)
+                gp.X, gp.Y = batch.X, batch.Y[:, d]
                 gp._precompute()
         if capacity is not None:
             for gp in self.gps:
@@ -370,24 +527,45 @@ class GaussianProcessCollection:
 
     def make_casadi_predict_func(self):
         """Stacked pure mean function z -> residual vector
-        (casadi_predict, gp_mpc.py:502-507's dependency)."""
-        fns = [gp.make_casadi_prediction_func() for gp in self.gps]
+        (casadi_predict, gp_mpc.py:502-507's dependency). All per-dim GPs
+        share the same training inputs, so the D means are one vmapped
+        kernel+dot program, not D sequential traces."""
+        X = self.gps[0].X
+        alphas = jnp.stack([gp._alpha for gp in self.gps])
+        ls = jnp.stack([jnp.exp(gp.params['log_lengthscales'])
+                        for gp in self.gps])
+        sv = jnp.stack([jnp.exp(gp.params['log_signal_var'])
+                        for gp in self.gps])
+        kernel_fn = self.gps[0].kernel_fn
 
+        @full_matmul_precision
         def predict(z):
-            return jnp.stack([fn(z) for fn in fns])
+            zz = jnp.atleast_2d(jnp.asarray(z, jnp.float32))
+            k = jax.vmap(lambda l, s: kernel_fn(zz, X, l, s)[0])(ls, sv)
+            return jnp.sum(k * alphas, axis=1)
 
         return predict
 
     def make_fitc_predict_func(self, n_ind_points, rand_state=0):
         """Stacked FITC mean function with shared kmeans inducing points
-        (precompute_sparse_gp_values, gp_mpc.py:383-432)."""
+        (precompute_sparse_gp_values, gp_mpc.py:383-432); one vmapped
+        program over output dims."""
         X = np.asarray(self.gps[0].real_data()[0])
         z_ind = kmeans_centriods(min(n_ind_points, X.shape[0]), X,
                                  rand_state=rand_state)
-        fns = [gp.make_fitc_prediction_func(z_ind) for gp in self.gps]
+        Z = jnp.asarray(z_ind, jnp.float32)
+        ws = jnp.stack([gp.fitc_weights(z_ind) for gp in self.gps])
+        ls = jnp.stack([jnp.exp(gp.params['log_lengthscales'])
+                        for gp in self.gps])
+        sv = jnp.stack([jnp.exp(gp.params['log_signal_var'])
+                        for gp in self.gps])
+        kernel_fn = self.gps[0].kernel_fn
 
+        @full_matmul_precision
         def predict(z):
-            return jnp.stack([fn(z) for fn in fns])
+            zz = jnp.atleast_2d(jnp.asarray(z, jnp.float32))
+            k = jax.vmap(lambda l, s: kernel_fn(zz, Z, l, s)[0])(ls, sv)
+            return jnp.sum(k * ws, axis=1)
 
         return predict, z_ind
 

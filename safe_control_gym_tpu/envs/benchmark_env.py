@@ -704,6 +704,26 @@ class BenchmarkEnv(gym.Env):
         info = self._build_info(out)
         return obs, rew, done, info
 
+    def set_reference(self, x_goal):
+        """Public reference-override API: replace ``X_GOAL`` and rebuild the
+        functional core around it.
+
+        The reference mutates ``env.X_GOAL`` in place and every consumer
+        follows (custom waypoint trajectories, examples/pid/
+        pid_experiment.py:29-49). Here reward/MSE/goal-extension closures
+        bake X_GOAL in at build time, so an override must recompile them;
+        the live ``EnvState`` (and therefore a running episode) is
+        unaffected — only the reward/termination views change."""
+        x_goal = np.asarray(x_goal, np.float32)
+        if self.TASK == Task.TRAJ_TRACKING:
+            expected = int(np.atleast_2d(np.asarray(self.X_GOAL)).shape[1])
+            if np.atleast_2d(x_goal).shape[1] != expected:
+                raise ValueError(
+                    f'[ERROR] set_reference: expected {expected} state '
+                    f'columns, got {np.atleast_2d(x_goal).shape[1]}.')
+        self.X_GOAL = x_goal
+        self._build_functional()
+
     def set_state(self, state):
         """Public set-state API: overwrite the physical state mid-episode.
 

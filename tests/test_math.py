@@ -147,6 +147,64 @@ def test_gp_collection_multi_dim():
     assert np.abs(mean - Y[:5]).max() < 0.2
 
 
+def test_batch_gp_matches_collection():
+    """BatchGaussianProcess (ref gp_utils.py:589-893 BatchGPModel parity):
+    one stacked vmapped program must reproduce the per-dim collection."""
+    from safe_control_gym_tpu.controllers.mpc.gp_utils import (
+        BatchGaussianProcess, GaussianProcessCollection)
+    rng = np.random.default_rng(2)
+    X = rng.uniform(-1, 1, (40, 3))
+    Y = np.stack([np.sin(X[:, 0]), X[:, 1] * X[:, 2]], axis=1)
+    gpc = GaussianProcessCollection(target_dim=2, kernel='Matern')
+    gpc.train(X, Y, n_train=150)
+    bgp = BatchGaussianProcess(3, 2, kernel='Matern')
+    bgp.train(X, Y, n_train=150)
+    m_c, v_c = gpc.predict(X[:6])
+    m_b, v_b = bgp.predict(X[:6])
+    np.testing.assert_allclose(m_b, m_c, atol=1e-4)
+    np.testing.assert_allclose(v_b, v_c, atol=1e-4)
+    # Stacked pure mean function agrees with predict().
+    fn = bgp.make_batched_predict_func()
+    np.testing.assert_allclose(np.asarray(fn(X[3])), m_b[3], atol=1e-4)
+    # Masks select input/target subsets (BatchGPModel input/target_mask).
+    bgp_m = BatchGaussianProcess(2, 1, input_mask=[0, 1], target_mask=[0],
+                                 kernel='Matern')
+    bgp_m.train(X, Y, n_train=100)
+    m_m, _ = bgp_m.predict(X[:4])
+    assert m_m.shape == (4, 1)
+    # State dict round-trips.
+    sd = bgp.state_dict()
+    bgp2 = BatchGaussianProcess(3, 2, kernel='Matern')
+    bgp2.load_state_dict(sd)
+    m_r, _ = bgp2.predict(X[:6])
+    np.testing.assert_allclose(m_r, m_b, atol=1e-6)
+
+
+def test_batch_gp_best_test_checkpointing():
+    """With held-out data the batched trainer keeps the best-test iterate
+    (ref gp_utils.py:769-793): its test marginal likelihood is never worse
+    than the final iterate's."""
+    from safe_control_gym_tpu.controllers.mpc.gp_utils import (
+        BatchGaussianProcess, _nll)
+    rng = np.random.default_rng(3)
+    X = rng.uniform(-2, 2, (30, 1))
+    Y = (np.sin(X) + rng.normal(0, 0.05, X.shape))
+    Xt = rng.uniform(-2, 2, (15, 1))
+    Yt = (np.sin(Xt) + rng.normal(0, 0.05, Xt.shape))
+    # Overtrain deliberately so the final iterate overfits the tiny set.
+    best = BatchGaussianProcess(1, 1, kernel='RBF')
+    best.train(X, Y, test_x=Xt, test_y=Yt, n_train=400, learning_rate=0.1)
+    final = BatchGaussianProcess(1, 1, kernel='RBF')
+    final.train(X, Y, n_train=400, learning_rate=0.1)
+
+    def test_nll(gp):
+        p = jax.tree.map(lambda x: x[0], gp.params)
+        return float(_nll(p, jnp.asarray(Xt, jnp.float32),
+                          jnp.asarray(Yt[:, 0], jnp.float32), gp.kernel_fn))
+
+    assert test_nll(best) <= test_nll(final) + 1e-5
+
+
 def test_mlp_and_rnn_shapes():
     key = jax.random.PRNGKey(0)
     params = mlp_init(key, 4, 2, [32, 32])
