@@ -318,7 +318,8 @@ class MPC(BaseController):
             # slack penalties, infeasible warm starts, long horizons) get
             # the full budget.
             sol = admm_qp(P_qp_j, q, A_mat, l, u, x0=z0, y0=y0,
-                          iters=qp_iters, tol=0.1 * float(self.feas_tol))
+                          iters=qp_iters, tol=0.1 * float(self.feas_tol),
+                          polish=True)
             X_new = sol.x[:nX].reshape(T + 1, nx)
             U_new = sol.x[nX:nX + nU].reshape(T, nu)
             return X_new, U_new, sol.x, sol.y, sol.prim_res

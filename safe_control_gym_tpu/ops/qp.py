@@ -39,7 +39,8 @@ def admm_qp(P: jax.Array, q: jax.Array, A: jax.Array, l: jax.Array,
             u: jax.Array, x0: Optional[jax.Array] = None,
             y0: Optional[jax.Array] = None, rho: float = 0.1,
             sigma: float = 1e-6, alpha: float = 1.6,
-            iters: int = 200, tol: Optional[float] = None) -> QPSolution:
+            iters: int = 200, tol: Optional[float] = None,
+            polish: bool = False) -> QPSolution:
     """Solve the QP with staged ADMM (OSQP algorithm 1).
 
     All arrays dense; returns a :class:`QPSolution`. ``rho`` is scaled per
@@ -51,6 +52,14 @@ def admm_qp(P: jax.Array, q: jax.Array, A: jax.Array, l: jax.Array,
     hard problems (e.g. heavy slack penalties on infeasible starts) can be
     given a large budget without slowing the easy ones.
 
+    ``polish`` runs an OSQP-style active-set polish after ADMM: one exact
+    LU solve of the KKT system restricted to the detected active rows,
+    accepted only when it improves BOTH residuals. ADMM reaches
+    feasibility fast but its optimality tail is slow on ill-conditioned
+    long-horizon MPC programs (measured: a horizon-20 12-state tube QP
+    needed 30k iterations for an accurate action; polished, 2k suffice) —
+    the polish makes solution QUALITY independent of that tail.
+
     TPU note: the body runs under full-f32 matmul precision. The MXU's
     default bfloat16 inputs stall ADMM at ~1e-1 primal residual (each
     A@x / KKT product injects ~1e-2 relative error, larger than the
@@ -59,11 +68,36 @@ def admm_qp(P: jax.Array, q: jax.Array, A: jax.Array, l: jax.Array,
     """
     with jax.default_matmul_precision('highest'):
         return _admm_qp_body(P, q, A, l, u, x0, y0, rho, sigma, alpha,
-                             iters, tol)
+                             iters, tol, polish)
+
+
+def _polish_kkt(P, q, A, l, u, x, sigma, eps_act):
+    """Exact active-set KKT solve (OSQP polish, all shapes static).
+
+    Active rows are detected from proximity of Ax to its bounds; inactive
+    rows are zeroed out of the saddle system and given a unit dual diagonal
+    so their multipliers come out exactly 0. One LU + one iterative-
+    refinement pass in the equilibrated scaling (all entries O(1))."""
+    n, m = P.shape[0], A.shape[0]
+    Ax = A @ x
+    act_l = jnp.isfinite(l) & ((Ax - l) < eps_act)
+    act_u = jnp.isfinite(u) & ((u - Ax) < eps_act)
+    act = jnp.logical_or(act_l, act_u)
+    a = act.astype(P.dtype)
+    b = jnp.where(act_u, u, jnp.where(act_l, l, 0.0)) * a
+    A_eff = A * a[:, None]
+    M = jnp.block([
+        [P + sigma * jnp.eye(n), A_eff.T],
+        [A_eff, -jnp.diag(jnp.where(act, 1e-7, 1.0))]])
+    rhs = jnp.concatenate([-q, b])
+    lu = jax.scipy.linalg.lu_factor(M)
+    sol = jax.scipy.linalg.lu_solve(lu, rhs)
+    sol = sol + jax.scipy.linalg.lu_solve(lu, rhs - M @ sol)
+    return sol[:n], sol[n:]
 
 
 def _admm_qp_body(P, q, A, l, u, x0, y0, rho, sigma, alpha, iters,
-                  tol=None):
+                  tol=None, polish=False):
     n = P.shape[0]
     m = A.shape[0]
     x = jnp.zeros(n) if x0 is None else x0
@@ -179,6 +213,25 @@ def _admm_qp_body(P, q, A, l, u, x0, y0, rho, sigma, alpha, iters,
     # of the original row magnitudes).
     prim_res = jnp.max(jnp.abs(Ax - jnp.clip(Ax, l, u)))
     dual_res = jnp.max(jnp.abs(P @ x + q + A.T @ y))
+    if polish:
+        # Ladder of active-set margins: at marginal ADMM convergence a
+        # single adaptive margin either misses active rows (polish
+        # infeasible) or over-flags them (polish over-constrained); try a
+        # few and keep the best accepted candidate. Each is one LU.
+        for eps_act in (1e-4, 1e-3, jnp.maximum(1e-4, 5.0 * prim_res)):
+            x_p, y_p = _polish_kkt(P, q, A, l, u, x, sigma, eps_act)
+            Axp = A @ x_p
+            pr_p = jnp.max(jnp.abs(Axp - jnp.clip(Axp, l, u)))
+            dr_p = jnp.max(jnp.abs(P @ x_p + q + A.T @ y_p))
+            # Accept only an improvement on both residuals (missed active
+            # rows make the polish infeasible -> rejected, iterate kept).
+            ok = jnp.logical_and(pr_p <= jnp.maximum(prim_res, 1e-6),
+                                 dr_p <= dual_res)
+            x = jnp.where(ok, x_p, x)
+            y = jnp.where(ok, y_p, y)
+            z = jnp.where(ok, jnp.clip(Axp, l, u), z)
+            prim_res = jnp.where(ok, pr_p, prim_res)
+            dual_res = jnp.where(ok, dr_p, dual_res)
     return QPSolution(x=x * c, z=z, y=y * d, prim_res=prim_res,
                       dual_res=dual_res)
 

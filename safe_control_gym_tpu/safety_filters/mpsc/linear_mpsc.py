@@ -300,11 +300,41 @@ class LINEAR_MPSC(MPSC):
         P_qp[nZ:nZ + nu, nZ:nZ + nu] += MtM[nx:, nx:]
         # Tiny regularization on all variables for ADMM conditioning.
         P_qp += np.eye(n_z, dtype=np.float32) * 1e-6
+        # Omega-centering tie-break: the one-step cost is DEGENERATE in z0
+        # (any z0 with K(x_init - z0) ~ const is cost-equivalent), so the
+        # QP is free to park z0 at the edge of — or outside — the cut
+        # relaxation of the ellipse. A small pull of z0 toward x_init
+        # (weight w on (z0 - x_init)'P(z0 - x_init)) selects the tube
+        # center among cost-equivalent optima; w is sized so the bias adds
+        # <= w * 1 to the squared action error whenever omega is actually
+        # slack.
+        w_omega = 1e-2
+        P_qp[:nx, :nx] += 2.0 * w_omega * np.asarray(self.P, np.float32)
         P_qp_j = jnp.asarray(P_qp)
-        m_rows = H * nx + (H * m_s) + (H * m_u) + m_t + 1  # dyn, state, input, terminal, omega
-        big = 1e8
+        P_omega_w = jnp.asarray(2.0 * w_omega * np.asarray(self.P),
+                                jnp.float32)
         sqp_iters = self.sqp_iters
         qp_iters = self.qp_iters
+        # Omega handling: the ellipse (x_init - z0)'P(x_init - z0) <= 1 is
+        # CONVEX, so any SQP linearization is a RELAXATION — and at the
+        # cold start e = 0 the gradient vanishes and the row is vacuous,
+        # letting z0 leave the true ellipse while the QP reports feasible
+        # (observed on the 12-state quadrotor: |x_init - z0| 10x the tube,
+        # corrupting the tube feedback K(x_init - z0)). Instead enforce the
+        # certified EIGEN-ALIGNED inner box: with P = V diag(lam) V' and
+        # xi = V'e, the rows |xi_i| <= 1/sqrt(nx*lam_i) imply
+        # e'Pe = sum lam_i xi_i^2 <= 1. Exact linear rows (no relaxation),
+        # uniformly sqrt(nx)-conservative along the ellipse's own axes
+        # (a coordinate-aligned box can be nx-fold tighter in single dims,
+        # which blocked boundary certifications). solve_optimization still
+        # validates the true quadratic as a final invariant check.
+        lam, Vp = np.linalg.eigh(np.asarray(self.P, np.float64))
+        omega_rows = jnp.asarray(Vp.T, jnp.float32)          # (nx, nx)
+        omega_inner_hw = jnp.asarray(
+            1.0 / np.sqrt(nx * np.clip(lam, 1e-12, None)), jnp.float32)
+        # dyn, state, input, terminal, omega inner box on V'(x_init - z0)
+        m_rows = H * nx + (H * m_s) + (H * m_u) + m_t + nx
+        big = 1e8
 
         def build_and_solve(x_init, u_L, Z, V, z_ws, y_ws):
             A_k = jax.vmap(jax.jacfwd(fd, argnums=0))(Z[:-1], V)
@@ -347,22 +377,21 @@ class LINEAR_MPSC(MPSC):
                         A_mat, A_t, (r2, H * nx))
                     u = jax.lax.dynamic_update_slice(u, b_t, (r2,))
             r3 = r2 + m_t
-            # Omega constraint: (x_init - z0)' P (x_init - z0) <= 1,
-            # linearized at current z0 guess.
-            e = x_init - Z[0]
-            g_val = e @ P_omega @ e - 1.0
-            grad_z0 = -2.0 * (P_omega @ e)
-            A_mat = A_mat.at[r3, :nx].set(grad_z0)
-            u = u.at[r3].set(grad_z0 @ Z[0] - g_val)
+            # Omega inner box in eigencoords: |V'(x_init - z0)| <= hw.
+            xi_c = omega_rows @ x_init
+            A_mat = A_mat.at[r3:r3 + nx, :nx].set(omega_rows)
+            l = l.at[r3:r3 + nx].set(xi_c - omega_inner_hw)
+            u = u.at[r3:r3 + nx].set(xi_c + omega_inner_hw)
             # Linear cost: from ||c0 + M d||^2 with c0 = u_L - U_EQ - K x_init.
             c0 = u_L - U_EQ - K @ x_init
             q_d = 2.0 * (M_cost.T @ c0)
             q = jnp.zeros((n_z,), jnp.float32)
-            q = q.at[:nx].set(q_d[:nx])
+            q = q.at[:nx].set(q_d[:nx] - P_omega_w @ x_init)
             q = q.at[nZ:nZ + nu].set(q_d[nx:])
             # Budgeted with early exit at 0.1*feas_tol (see ops/qp.py).
             sol = admm_qp(P_qp_j, q, A_mat, l, u, x0=z_ws, y0=y_ws,
-                          iters=qp_iters, tol=0.1 * float(self.feas_tol))
+                          iters=qp_iters, tol=0.1 * float(self.feas_tol),
+                          polish=True)
             Z_new = sol.x[:nZ].reshape(H + 1, nx)
             V_new = sol.x[nZ:nZ + nV].reshape(H, nu)
             return Z_new, V_new, sol.x, sol.y, sol.prim_res
@@ -424,6 +453,18 @@ class LINEAR_MPSC(MPSC):
             tol = tol * max(1.0, float(np.max(np.abs(obs))),
                             float(np.max(np.abs(np.asarray(u_L)))))
         feasible = bool(np.isfinite(float(res)) and float(res) < tol)
+        if feasible:
+            # Invariant check on the TRUE omega constraint (the QP enforces
+            # its inner box): a residual-tol violation of the box rows can
+            # inflate ||e||_P by at most tol * sum_i sqrt(P_ii), so accept
+            # up to that and reject anything grosser — a false 'feasible'
+            # is a safety false positive (the tube feedback guarantee
+            # needs x_init - z0 inside omega).
+            e = np.asarray(x_init) - np.asarray(Z)[0]
+            slack = tol * float(np.sum(np.sqrt(np.clip(np.diag(self.P),
+                                                       0, None))))
+            feasible = bool(float(e @ self.P @ e) <= (1.0 + slack) ** 2
+                            + 1e-6)
         if not feasible:
             return None, False
         self.z_prev = np.asarray(Z).T

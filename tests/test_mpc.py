@@ -37,6 +37,34 @@ def test_admm_qp_unconstrained_matches_solve():
     assert np.allclose(np.asarray(sol.x), x_ref, atol=1e-3)
 
 
+def test_admm_qp_polish_accuracy():
+    """OSQP-style polish: on an ill-conditioned QP a short ADMM run exits
+    feasible-but-suboptimal; the active-set KKT polish must recover the
+    exact optimum (the failure mode observed on horizon-20 tube QPs where
+    30k unpolished iterations were needed for an accurate action)."""
+    rng = np.random.default_rng(1)
+    n, m = 40, 60
+    M = rng.standard_normal((n, n))
+    # Condition number ~1e4 via scaled spectrum.
+    U, _, Vt = np.linalg.svd(M)
+    P = (U * np.geomspace(1.0, 1e-4, n)) @ U.T
+    q = rng.standard_normal(n)
+    A = np.vstack([np.eye(n), rng.standard_normal((m - n, n))])
+    l = np.concatenate([np.full(n, -1.0), np.full(m - n, -5.0)])
+    u = np.concatenate([np.full(n, 1.0), np.full(m - n, 5.0)])
+    args = [jnp.asarray(v, jnp.float32) for v in (P, q, A, l, u)]
+    rough = admm_qp(*args, iters=300, tol=1e-3)
+    polished = admm_qp(*args, iters=300, tol=1e-3, polish=True)
+    # Reference solution: very long ADMM run.
+    ref = admm_qp(*args, iters=200000, tol=1e-9)
+    x_ref = np.asarray(ref.x)
+    err_rough = np.abs(np.asarray(rough.x) - x_ref).max()
+    err_pol = np.abs(np.asarray(polished.x) - x_ref).max()
+    assert float(polished.dual_res) <= float(rough.dual_res)
+    assert err_pol < 1e-3, f'polish err {err_pol} (rough {err_rough})'
+    assert err_pol <= err_rough + 1e-6
+
+
 CARTPOLE_STAB = dict(
     seed=42, cost='quadratic', ctrl_freq=15, pyb_freq=750, episode_len_sec=6,
     constraints=[{'constraint_form': 'default_constraint',

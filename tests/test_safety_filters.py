@@ -71,6 +71,36 @@ def cbf_filter():
     return make('cbf', env_func, slope=0.1, seed=0)
 
 
+def test_rpi_set_invariance_12dim():
+    """compute_RPI_set must return a truly invariant ellipse even when the
+    log-det descent fails to certify (12-state quadrotor-3D regime): for
+    every boundary point x (x'Px = 1) and every sampled residual w,
+    (Ax + w)' P (Ax + w) <= 1."""
+    from safe_control_gym_tpu.safety_filters.mpsc.mpsc_utils import \
+        compute_RPI_set
+    rng = np.random.default_rng(0)
+    nx = 12
+    # Random strictly-stable closed-loop map (spectral radius ~0.97, the
+    # slow-position-modes regime where the descent struggles).
+    A = rng.normal(0, 0.3, (nx, nx))
+    A = A / np.max(np.abs(np.linalg.eigvals(A))) * 0.97
+    w = rng.normal(0, 1e-3, (nx, 300))
+    P = compute_RPI_set(A, w, tau=0.975)
+    evals = np.linalg.eigvalsh(P)
+    assert evals.min() > 0, 'P must be positive definite'
+    # Invariance check on boundary points.
+    xs = rng.normal(0, 1, (200, nx))
+    L = np.linalg.cholesky(np.linalg.inv(P))
+    xs = (xs / np.linalg.norm(xs, axis=1, keepdims=True)) @ L.T  # x'Px = 1
+    nxt = xs @ A.T  # (200, nx), then add every residual
+    vals = np.einsum('ij,jk,lk->il', nxt, P, w.T)  # cross terms
+    quad_x = np.sum((nxt @ P) * nxt, axis=1)[:, None]
+    quad_w = np.sum((w.T @ P) * w.T, axis=1)[None, :]
+    lhs = quad_x + 2 * vals + quad_w
+    assert float(lhs.max()) <= 1.0 + 1e-6, \
+        f'RPI violated: max (Ax+w)P(Ax+w) = {lhs.max():.4f}'
+
+
 def test_cbf_passthrough_when_safe(cbf_filter):
     c, s = cbf_filter.certify_action(np.zeros(4, np.float32),
                                      np.array([1.0]))
