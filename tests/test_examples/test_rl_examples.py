@@ -79,7 +79,7 @@ def test_pretrained_mpsc_artifact_certifies():
     with open(os.path.join(base, 'cartpole_stab.yaml')) as f:
         task = yaml.safe_load(f)['task_config']
     sf_cfg = get_config('linear_mpsc')
-    with open(os.path.join(base, 'linear_mpsc_cartpole_stab.yaml')) as f:
+    with open(os.path.join(base, 'linear_mpsc_cartpole.yaml')) as f:
         sf_cfg.update(yaml.safe_load(f)['sf_config'])
     env_func = functools.partial(make, 'cartpole', **task)
     sf = make('linear_mpsc', env_func, **sf_cfg)
