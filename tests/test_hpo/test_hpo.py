@@ -88,3 +88,36 @@ def test_hpo_sac_gpmpc_configs_run(tmp_path):
     study = hpo.hyperparameter_optimization()
     assert len(study.trials) == 1
     assert study.best_value is not None
+
+
+def test_optimized_hyperparameters_artifacts_load():
+    """The committed HPO result YAMLs (examples/hpo/results/*, the
+    counterpart of the reference's optimized_hyperparameters.yaml
+    artifacts) must merge into the algo config and construct a working
+    controller."""
+    import glob
+
+    import yaml
+
+    from safe_control_gym_tpu.utils.registration import get_config, make
+    root = os.path.join(os.path.dirname(__file__), '..', '..', 'examples',
+                        'hpo', 'results')
+    paths = sorted(glob.glob(os.path.join(root,
+                                          'optimized_hyperparameters_*.yaml')))
+    assert paths, 'no committed HPO artifacts found'
+    for path in paths:
+        algo = os.path.basename(path).split('_')[2]
+        with open(path) as f:
+            hps = yaml.safe_load(f)
+        cfg = get_config(algo)
+        cfg.update(hps)
+        cfg.update(max_env_steps=200, log_interval=0, save_interval=0,
+                   num_checkpoints=0, eval_interval=0, tensorboard=False)
+        env_func = partial(make, 'cartpole', normalized_rl_action_space=True,
+                           cost='rl_reward', task='stabilization')
+        ctrl = make(algo, env_func, training=True, seed=0,
+                    output_dir='/tmp/hpo_artifact_check', **cfg)
+        obs, _ = ctrl.env.reset()
+        act = ctrl.select_action(np.asarray(obs))
+        assert np.all(np.isfinite(act))
+        ctrl.close()
