@@ -336,7 +336,7 @@ class LINEAR_MPSC(MPSC):
         m_rows = H * nx + (H * m_s) + (H * m_u) + m_t + nx
         big = 1e8
 
-        def build_and_solve(x_init, u_L, Z, V, z_ws, y_ws):
+        def build_and_solve(x_init, u_L, xeq, Z, V, z_ws, y_ws):
             A_k = jax.vmap(jax.jacfwd(fd, argnums=0))(Z[:-1], V)
             B_k = jax.vmap(jax.jacfwd(fd, argnums=1))(Z[:-1], V)
             f_k = jax.vmap(fd)(Z[:-1], V)
@@ -356,10 +356,14 @@ class LINEAR_MPSC(MPSC):
                 u = u.at[r:r + nx].set(c_k[k])
             r0 = H * nx
             # State constraints on z_k + X_EQ handled by caller shifting b.
+            # xeq is an ARGUMENT, not a captured constant: per-step
+            # re-linearization (before_optimization) must reach the
+            # compiled program — a closure capture here bakes the FIRST
+            # step's X_EQ into the trace forever.
             for k in range(H):
                 r = r0 + k * m_s
                 A_mat = A_mat.at[r:r + m_s, k * nx:(k + 1) * nx].set(A_s)
-                u = u.at[r:r + m_s].set(b_s - A_s @ self._xeq_j)
+                u = u.at[r:r + m_s].set(b_s - A_s @ xeq)
             r1 = r0 + H * m_s
             for k in range(H):
                 r = r1 + k * m_u
@@ -396,21 +400,87 @@ class LINEAR_MPSC(MPSC):
             V_new = sol.x[nZ:nZ + nV].reshape(H, nu)
             return Z_new, V_new, sol.x, sol.y, sol.prim_res
 
-        def solve(x_init, u_L, Z0, V0, z0, y0):
+        def solve(x_init, u_L, xeq, Z0, V0, z0, y0):
             def body(carry, _):
                 Z, V, z, y = carry
-                Z, V, z, y, res = build_and_solve(x_init, u_L, Z, V, z, y)
+                Z, V, z, y, res = build_and_solve(x_init, u_L, xeq,
+                                                  Z, V, z, y)
                 return (Z, V, z, y), res
             (Z, V, z, y), res = jax.lax.scan(body, (Z0, V0, z0, y0), None,
                                              length=sqp_iters)
             return Z, V, z, y, res[-1]
 
-        self._xeq_j = jnp.asarray(self.X_EQ, jnp.float32)
         self._n_z = n_z
         self._m_rows = m_rows
         self._solve_raw = solve
         self._solve_jit = jax.jit(solve)
+        self._solve_batch = None
         self._qp_warm = None
+
+    def _xeq_for(self, obs):
+        """Re-linearization point for one observation (the
+        before_optimization rule, shape-polymorphic for batching)."""
+        obs = np.asarray(obs)
+        if self.env.NAME == Environment.CARTPOLE:
+            out = np.zeros(4, np.float32)
+            out[0] = obs[0]
+            return out
+        if self.env.NAME == Environment.QUADROTOR and self.model.nx == 6:
+            out = np.zeros(6, np.float32)
+            out[0], out[2] = obs[0], obs[2]
+            return out
+        return np.zeros(self.model.nx, np.float32)
+
+    def certify_action_batch(self, states, uncertified_actions):
+        """Vectorized certification: B independent cold-started tube
+        solves in ONE device program (``jax.vmap`` over the whole
+        SQP+ADMM+polish solve — the batched-solver counterpart of
+        examples/mpc/batched_mpc_demo.py, with no reference equivalent:
+        the reference runs one CasADi solve per certification).
+
+        Infeasible rows fall back to the clipped-LQR last rung of the
+        kinf ladder (batch elements are independent states, so there is
+        no per-element plan history to replay). Returns
+        ``(certified_actions (B, nu), success (B,) bool)``.
+        """
+        nx, nu, H = self.model.nx, self.model.nu, self.horizon
+        states = np.atleast_2d(np.asarray(states, np.float32))[:, :nx]
+        acts = np.atleast_2d(np.asarray(uncertified_actions, np.float32))
+        acts = np.clip(acts, self.env.physical_action_bounds[0],
+                       self.env.physical_action_bounds[1])
+        B = states.shape[0]
+        xeqs = np.stack([self._xeq_for(s) for s in states])
+        x_inits = jnp.asarray(states - xeqs)
+        if self._solve_batch is None:
+            self._solve_batch = jax.jit(jax.vmap(self._solve_raw))
+        Z0 = jnp.tile(x_inits[:, None, :], (1, H + 1, 1))
+        V0 = jnp.zeros((B, H, nu), jnp.float32)
+        zw = jnp.zeros((B, self._n_z), jnp.float32)
+        yw = jnp.zeros((B, self._m_rows), jnp.float32)
+        Z, V, z, y, res = self._solve_batch(
+            x_inits, jnp.asarray(acts), jnp.asarray(xeqs), Z0, V0, zw, yw)
+        res = np.asarray(res)
+        scale = np.maximum(1.0, np.maximum(np.abs(states).max(axis=1),
+                                           np.abs(acts).max(axis=1)))
+        tol = self.feas_tol * (scale if self.feas_tol_relative
+                               else np.ones(B))
+        e = np.asarray(x_inits) - np.asarray(Z)[:, 0]
+        slack = tol * float(np.sum(np.sqrt(np.clip(np.diag(self.P),
+                                                   0, None))))
+        omega_ok = (np.einsum('bi,ij,bj->b', e, np.asarray(self.P), e)
+                    <= (1.0 + slack) ** 2 + 1e-6)
+        feasible = np.isfinite(res) & (res < tol) & omega_ok
+        K = np.asarray(self.lqr_gain)
+        u_eq = np.atleast_1d(np.asarray(self.U_EQ, np.float32))
+        next_u = np.asarray(V)[:, 0] + u_eq[None, :] + e @ K.T
+        # Fallback rows: clipped LQR toward the re-linearization point.
+        lqr_u = (states - xeqs) @ K.T
+        if self.integration_algo == 'LTI':
+            lqr_u = lqr_u + u_eq[None, :]
+        in_con = self.constraints.input_constraints[0]
+        lqr_u = np.clip(lqr_u, in_con.lower_bounds, in_con.upper_bounds)
+        certified = np.where(feasible[:, None], next_u, lqr_u)
+        return certified, feasible
 
     def before_optimization(self, obs):
         """Per-step re-linearization point (linear_mpsc.py:347-362)."""
@@ -423,7 +493,6 @@ class LINEAR_MPSC(MPSC):
                                      dtype=np.float32)
             else:
                 self.X_EQ = np.zeros(self.model.nx, dtype=np.float32)
-        self._xeq_j = jnp.asarray(self.X_EQ, jnp.float32)
 
     def solve_optimization(self, obs, uncertified_action, iteration=None):
         """One certification solve (mpsc.py:110-169 flow, jitted)."""
@@ -447,7 +516,9 @@ class LINEAR_MPSC(MPSC):
             V0 = jnp.zeros((H, nu), jnp.float32)
             z_ws = jnp.zeros((self._n_z,), jnp.float32)
             y_ws = jnp.zeros((self._m_rows,), jnp.float32)
-        Z, V, z, y, res = self._solve_jit(x_init, u_L, Z0, V0, z_ws, y_ws)
+        Z, V, z, y, res = self._solve_jit(
+            x_init, u_L, jnp.asarray(self.X_EQ, jnp.float32),
+            Z0, V0, z_ws, y_ws)
         tol = self.feas_tol
         if self.feas_tol_relative:
             tol = tol * max(1.0, float(np.max(np.abs(obs))),

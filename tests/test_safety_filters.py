@@ -71,6 +71,31 @@ def cbf_filter():
     return make('cbf', env_func, slope=0.1, seed=0)
 
 
+def test_mpsc_batch_certification_matches_sequential(mpsc_filter):
+    """certify_action_batch: B cold-started tube solves in one vmapped
+    device program must agree with per-element solve_optimization
+    (feasibility flags and certified actions)."""
+    sf = mpsc_filter
+    rng = np.random.default_rng(7)
+    states = np.stack([
+        np.array([0.2, 0.1, 0.05, -0.1]),
+        np.array([-0.5, 0.3, -0.08, 0.2]),
+        np.array([1.2, 0.5, 0.1, 0.3]),
+        rng.normal(0, 0.2, 4)]).astype(np.float32)
+    actions = np.array([[0.5], [-1.0], [4.0], [0.2]], np.float32)
+    batch_u, batch_ok = sf.certify_action_batch(states, actions)
+    assert batch_u.shape == (4, 1) and batch_ok.shape == (4,)
+    for i in range(4):
+        sf.reset_before_run()          # cold start, like the batch path
+        sf.before_optimization(states[i])
+        u_seq, ok_seq = sf.solve_optimization(states[i], actions[i])
+        assert bool(batch_ok[i]) == bool(ok_seq), f'row {i}'
+        if ok_seq:
+            np.testing.assert_allclose(batch_u[i], np.atleast_1d(u_seq),
+                                       atol=5e-3)
+    assert np.all(np.isfinite(batch_u))
+
+
 def test_rpi_set_invariance_12dim():
     """compute_RPI_set must return a truly invariant ellipse even when the
     log-det descent fails to certify (12-state quadrotor-3D regime): for
