@@ -122,12 +122,17 @@ class LINEAR_MPSC(MPSC):
         if env is None:
             env = self.training_env
         nx, nu = self.model.nx, self.model.nu
+        self._learn_rng = np.random.default_rng(self.seed)
         w = np.zeros((nx, self.n_samples))
         for i in range(self.n_samples):
             init_state, _ = env.reset()
             init_state = init_state[:nx]
+            # Seeded generator, NOT the global numpy RNG (the reference
+            # uses np.random here, linear_mpsc.py:126 — which makes the
+            # learned tube depend on whatever consumed the global stream
+            # earlier in the process).
             if self.env.NAME == Environment.QUADROTOR:
-                u = np.random.rand(nu) / 20 - 1 / 40 + self.U_EQ
+                u = self._learn_rng.random(nu) / 20 - 1 / 40 + self.U_EQ
             else:
                 u = env.action_space.sample()
             x_next_obs, _, _, _ = env.step(u)
@@ -281,12 +286,21 @@ class LINEAR_MPSC(MPSC):
             terminal_quadratic = False
             m_t = A_t.shape[0]
         elif use_terminal:
+            # Quadratic terminal ball ||z_T||^2 <= tol: like omega, a
+            # convex constraint whose SQP linearization is a RELAXATION —
+            # 'can stop within the horizon' certifications were false
+            # positives that let a diving quad through until too late.
+            # Enforce the certified inner box |z_T_i| <= sqrt(tol/nx)
+            # instead; the true ball is re-validated before 'feasible'.
             terminal_quadratic = True
-            tol = float(self.env.TASK_INFO['stabilization_goal_tolerance'])
-            m_t = 1
+            term_tol = float(self.env.TASK_INFO['stabilization_goal_tolerance'])
+            term_hw = float(np.sqrt(max(term_tol, 0.0) / nx))
+            m_t = nx
         else:
             terminal_quadratic = False
             m_t = 0
+        self._terminal_quadratic = terminal_quadratic
+        self._term_tol = (term_tol if terminal_quadratic else None)
         # Cost (one-step): ||c0 + M d||^2, d = [z0; v0].
         M_cost = jnp.asarray(self.cost_function.get_cost(
             {'lqr_gain': self.lqr_gain}), jnp.float32)
@@ -372,10 +386,10 @@ class LINEAR_MPSC(MPSC):
             r2 = r1 + H * m_u
             if m_t:
                 if terminal_quadratic:
-                    zT = Z[-1]
-                    grad = 2.0 * zT
-                    A_mat = A_mat.at[r2, H * nx:(H + 1) * nx].set(grad)
-                    u = u.at[r2].set(grad @ zT - (zT @ zT - tol))
+                    A_mat = A_mat.at[r2:r2 + nx,
+                                     H * nx:(H + 1) * nx].set(jnp.eye(nx))
+                    l = l.at[r2:r2 + nx].set(-term_hw)
+                    u = u.at[r2:r2 + nx].set(term_hw)
                 else:
                     A_mat = jax.lax.dynamic_update_slice(
                         A_mat, A_t, (r2, H * nx))
@@ -473,10 +487,9 @@ class LINEAR_MPSC(MPSC):
         K = np.asarray(self.lqr_gain)
         u_eq = np.atleast_1d(np.asarray(self.U_EQ, np.float32))
         next_u = np.asarray(V)[:, 0] + u_eq[None, :] + e @ K.T
-        # Fallback rows: clipped LQR toward the re-linearization point.
-        lqr_u = (states - xeqs) @ K.T
-        if self.integration_algo == 'LTI':
-            lqr_u = lqr_u + u_eq[None, :]
+        # Fallback rows: clipped LQR toward the re-linearization point
+        # (+ U_EQ in both modes — see the certify_action fallback note).
+        lqr_u = (states - xeqs) @ K.T + u_eq[None, :]
         in_con = self.constraints.input_constraints[0]
         lqr_u = np.clip(lqr_u, in_con.lower_bounds, in_con.upper_bounds)
         certified = np.where(feasible[:, None], next_u, lqr_u)
@@ -536,6 +549,10 @@ class LINEAR_MPSC(MPSC):
                                                        0, None))))
             feasible = bool(float(e @ self.P @ e) <= (1.0 + slack) ** 2
                             + 1e-6)
+        if feasible and getattr(self, '_terminal_quadratic', False):
+            zT = np.asarray(Z)[-1]
+            feasible = bool(float(zT @ zT)
+                            <= self._term_tol + 2.0 * tol + 1e-6)
         if not feasible:
             return None, False
         self.z_prev = np.asarray(Z).T

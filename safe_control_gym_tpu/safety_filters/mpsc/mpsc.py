@@ -135,14 +135,20 @@ class MPSC(BaseSafetyFilter, ABC):
             certified_action = action
         else:
             self.kinf += 1
+            # U_EQ is added in BOTH integration modes: v is a delta input
+            # everywhere in the optimizer (the reference's own certified
+            # path uses next_u = v + U_EQ + K(.) for rk4 AND LTI,
+            # linear_mpsc.py:305,321) — its fallback adding U_EQ only for
+            # LTI (mpsc.py:204-215) is a reference bug that commands
+            # near-zero thrust on quadrotors and crashes them into the
+            # very constraint the filter protects.
             if (self.kinf <= self.horizon - 1 and self.z_prev is not None
                     and self.v_prev is not None):
                 action = (np.squeeze(self.v_prev[:, self.kinf])
+                          + np.squeeze(self.U_EQ)
                           + np.squeeze(self.lqr_gain @ (
                               current_state.reshape(nx, 1)
                               - self.z_prev[:, self.kinf].reshape(nx, 1))))
-                if self.integration_algo == 'LTI':
-                    action = np.squeeze(action) + np.squeeze(self.U_EQ)
                 action = np.squeeze(action)
                 clipped_action = np.clip(action, in_con.lower_bounds,
                                          in_con.upper_bounds)
@@ -151,8 +157,7 @@ class MPSC(BaseSafetyFilter, ABC):
                 certified_action = clipped_action
             else:
                 action = np.squeeze(self.lqr_gain @ (current_state - self.X_EQ))
-                if self.integration_algo == 'LTI':
-                    action += np.squeeze(self.U_EQ)
+                action = action + np.squeeze(self.U_EQ)
                 clipped_action = np.clip(action, in_con.lower_bounds,
                                          in_con.upper_bounds)
                 success = False
