@@ -35,13 +35,19 @@ class CBF(BaseSafetyFilter):
     def __init__(self, env_func, slope: float = 0.1,
                  soft_constrained: bool = True,
                  slack_weight: float = 10000.0,
-                 slack_tolerance: float = 1.0e-3, **kwargs):
+                 slack_tolerance: float = 1.0e-3,
+                 feas_tol: float = 1.0e-3, **kwargs):
         super().__init__(env_func=env_func, **kwargs)
         self.env = self.env_func()
         self.slope = slope
         self.soft_constrained = soft_constrained
         self.slack_weight = slack_weight
         self.slack_tolerance = slack_tolerance
+        # QP feasibility threshold on the final ADMM primal residual — a
+        # real config knob like MPC/MPSC's feas_tol, not a hard-coded
+        # constant (a mis-declared 'feasible' is a certification false
+        # positive).
+        self.feas_tol = float(feas_tol)
 
         input_constraints = self.env.constraints.input_constraints
         state_constraints = self.env.constraints.state_constraints
@@ -99,6 +105,7 @@ class CBF(BaseSafetyFilter):
         slope = float(self.slope)
         soft = bool(self.soft_constrained)
         slack_weight = float(self.slack_weight)
+        feas_tol = float(self.feas_tol)
         A_u = jnp.asarray(self.input_constraint.A, jnp.float32)
         b_u = jnp.asarray(self.input_constraint.b, jnp.float32)
         m_u = A_u.shape[0]
@@ -122,14 +129,15 @@ class CBF(BaseSafetyFilter):
             l1 = jnp.full((1 + m_u,), -big)
             P1 = jnp.eye(nu)
             q1 = -u_des
-            sol1 = admm_qp(P1, q1, A1, l1, u1b, rho=1.0, iters=300)
+            sol1 = admm_qp(P1, q1, A1, l1, u1b, rho=1.0, iters=300,
+                           polish=True)
             # Candidate 2: penalty-active QP (soft mode only).
             P2 = jnp.eye(nu) + 2.0 * slack_weight * jnp.outer(bt, bt)
             q2 = -u_des + 2.0 * slack_weight * rhs * bt
             sol2 = admm_qp(P2, q2, A_u, jnp.full((m_u,), -big), b_u,
-                           rho=1.0, iters=300)
+                           rho=1.0, iters=300, polish=True)
             slack2 = jnp.clip(-(bt @ sol2.x) - rhs, 0.0, None)
-            cand1_ok = sol1.prim_res < 1e-3
+            cand1_ok = sol1.prim_res < feas_tol
             if soft:
                 u_sol = jnp.where(cand1_ok, sol1.x, sol2.x)
                 slack = jnp.where(cand1_ok, 0.0, slack2)
@@ -150,7 +158,8 @@ class CBF(BaseSafetyFilter):
             jnp.asarray(current_state, jnp.float32),
             jnp.asarray(np.atleast_1d(uncertified_action), jnp.float32),
             nn_a, nn_b)
-        feasible = bool(np.isfinite(float(res)) and float(res) < 1e-3)
+        feasible = bool(np.isfinite(float(res))
+                        and float(res) < self.feas_tol)
         certified_action = np.asarray(u)
         if self.soft_constrained and feasible:
             if float(slack) > self.slack_tolerance:
