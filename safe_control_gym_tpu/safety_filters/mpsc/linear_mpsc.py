@@ -271,7 +271,6 @@ class LINEAR_MPSC(MPSC):
         fd = self.dynamics_func
         U_EQ = jnp.asarray(self.U_EQ, jnp.float32)
         K = jnp.asarray(self.lqr_gain, jnp.float32)
-        P_omega = jnp.asarray(self.P, jnp.float32)
         # Tightened linear constraints.
         A_u = jnp.asarray(self.tightened_input_constraint.A, jnp.float32)
         b_u = jnp.asarray(self.tightened_input_constraint.b, jnp.float32)
