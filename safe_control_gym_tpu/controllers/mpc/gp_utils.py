@@ -18,6 +18,7 @@ stack of parameters:
 
 from __future__ import annotations
 
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -514,16 +515,27 @@ class GaussianProcessCollection:
         return losses
 
     def predict(self, x_star, return_pred=False):
-        """Stacked mean/var over target dims (gp_utils.py:460-500)."""
+        """Stacked mean/var over target dims (gp_utils.py:460-500).
+
+        One vmapped+jitted program for ALL output dims: the per-dim loop
+        was D separate eager dispatches per call — at tens of ms of
+        remote-dispatch latency each, it dominated GP-MPC's per-step cost
+        (measured 1.8 s/step before, with the chance-constraint
+        tightening calling this every control step)."""
         x_star = np.atleast_2d(np.asarray(x_star))
         if self.input_mask is not None:
             x_star = x_star[:, self.input_mask]
-        means, variances = [], []
-        for gp in self.gps:
-            m, v = gp.predict(x_star)
-            means.append(m)
-            variances.append(v)
-        return np.stack(means, axis=-1), np.stack(variances, axis=-1)
+        X = self.gps[0].X
+        chol = jnp.stack([gp._chol for gp in self.gps])
+        alpha = jnp.stack([gp._alpha for gp in self.gps])
+        ls = jnp.stack([jnp.exp(gp.params['log_lengthscales'])
+                        for gp in self.gps])
+        sv = jnp.stack([jnp.exp(gp.params['log_signal_var'])
+                        for gp in self.gps])
+        means, variances = _stacked_gp_predict(
+            X, chol, alpha, ls, sv,
+            jnp.asarray(x_star, jnp.float32), self.gps[0].kernel_fn)
+        return np.asarray(means.T), np.asarray(variances.T)
 
     def make_casadi_predict_func(self):
         """Stacked pure mean function z -> residual vector
@@ -592,6 +604,19 @@ class GaussianProcessCollection:
                                  kernel=self.kernel_name)
             gp.load_state_dict(sd)
             self.gps.append(gp)
+
+
+@partial(jax.jit, static_argnames=('kernel_fn',))
+@full_matmul_precision
+def _stacked_gp_predict(X, chol, alpha, ls, sv, xs, kernel_fn):
+    """Posterior mean/var for D stacked GPs sharing X, one program."""
+    def one_dim(L, a, l, s):
+        k = kernel_fn(xs, X, l, s)
+        mean = k @ a
+        v = jax.scipy.linalg.cho_solve((L, True), k.T)
+        return mean, s - jnp.sum(k * v.T, axis=1)
+
+    return jax.vmap(one_dim)(chol, alpha, ls, sv)
 
 
 def lhs_sample(n_samples, lower, upper, rand_state=0):
