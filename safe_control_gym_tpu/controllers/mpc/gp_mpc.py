@@ -136,6 +136,12 @@ class GPMPC(LinearMPC):
         self.inverse_cdf = scipy.stats.norm.ppf(
             1 - (1 / nx - (self.prob + 1) / (2 * nx)))
         self._gp_trained = False
+        self._fused_jit = None
+        self._tighten_jit = None
+        self._tighten_raw = None
+        self._tighten_params = None
+        self._batch_solvers = {}
+        self._last_cap_binds = 0
         self.data_inputs = None
         self.data_targets = None
         self.dynamics_func_param = None
@@ -417,6 +423,203 @@ class GPMPC(LinearMPC):
             self.dynamics_params = {
                 'X': gps[0].X,
                 'alpha': jnp.stack([gp._alpha for gp in gps])}
+        # Variance-side GP data for the in-jit chance-constraint tightening
+        # (exact posterior variance in both exact and sparse-mean modes,
+        # mirroring the host path's use of GaussianProcessCollection.predict).
+        self._tighten_params = {
+            'X': gps[0].X,
+            'chol': jnp.stack([gp._chol for gp in gps]),
+            'ls': jnp.stack([jnp.exp(gp.params['log_lengthscales'])
+                             for gp in gps]),
+            'sv': jnp.stack([jnp.exp(gp.params['log_signal_var'])
+                             for gp in gps]),
+            'noise_var': jnp.stack([jnp.exp(gp.params['log_noise_var'])
+                                    for gp in gps]),
+        }
+
+    # -- fused tightening + solve ----------------------------------------
+    def setup_optimizer(self, solver='qp'):
+        """Parent QP structure + the FUSED program: chance-constraint
+        tightening (GP variance query + covariance propagation,
+        precompute_probabilistic_limits, reference gp_mpc.py:288-362) and
+        the SQP solve compiled into ONE jitted dispatch per control step.
+        The host-loop path (`_constraint_tightening`) is kept as the
+        reference implementation for equivalence tests and as a fallback
+        for non-linear (no ``A``/``b``) constraint types."""
+        super().setup_optimizer(solver)
+        self._fused_jit = None
+        self._tighten_jit = None
+        self._tighten_raw = None
+        self._batch_solvers = {}
+        self._last_cap_binds = 0
+        if not self._gp_trained:
+            return
+        state_cons = self.constraints.state_constraints
+        input_cons = self.constraints.input_constraints
+        if any(not hasattr(c, 'A') for c in state_cons + input_cons):
+            return  # tightening only defined for linear constraint rows
+        nx, nu, T = self.model.nx, self.model.nu, self.T
+        ms, mu = self._ms, self._mu
+        A_s_abs = (jnp.asarray(np.vstack(
+            [np.abs(np.atleast_2d(c.A)) for c in state_cons]), jnp.float32)
+            if ms else jnp.zeros((0, nx), jnp.float32))
+        b_s_abs = (jnp.asarray(np.concatenate(
+            [np.abs(np.atleast_1d(c.b)) for c in state_cons]), jnp.float32)
+            if ms else jnp.zeros((0,), jnp.float32))
+        A_u_abs = (jnp.asarray(np.vstack(
+            [np.abs(np.atleast_2d(c.A)) for c in input_cons]), jnp.float32)
+            if mu else jnp.zeros((0, nu), jnp.float32))
+        b_u_abs = (jnp.asarray(np.concatenate(
+            [np.abs(np.atleast_1d(c.b)) for c in input_cons]), jnp.float32)
+            if mu else jnp.zeros((0,), jnp.float32))
+        K = jnp.asarray(self.lqr_gain, jnp.float32)
+        A_cl = jnp.asarray(self.Ad + self.Bd @ np.asarray(self.lqr_gain),
+                           jnp.float32)
+        icdf = jnp.float32(self.inverse_cdf)
+        frac = jnp.float32(self.max_tightening_frac)
+        s0 = jnp.float32(self.initial_rollout_std)
+        input_mask = jnp.asarray(self.input_mask, jnp.int32)
+        target_mask = np.asarray(self.target_mask, np.int64)
+        kernel_fn = self.gaussian_process.gps[0].kernel_fn
+        solve_raw = self._solve_raw
+
+        @full_matmul_precision
+        def tighten(x_prev_T, u_prev_T, tp, has_prev):
+            """(T+1, nx) / (T, nu) previous trajectory -> per-step
+            tightening offsets + count of capped rows. Pure linear algebra
+            (reference gp_mpc.py:288-362) as a lax.scan over the horizon."""
+            z = jnp.concatenate([x_prev_T[:T], u_prev_T],
+                                axis=1)[:, input_mask]
+
+            def var_one(L, l, s):
+                k = kernel_fn(z, tp['X'], l, s)
+                v = jax.scipy.linalg.cho_solve((L, True), k.T)
+                return s - jnp.sum(k * v.T, axis=1)
+
+            gp_var = jax.vmap(var_one)(tp['chol'], tp['ls'], tp['sv']).T
+            cov0 = jnp.eye(nx, dtype=jnp.float32) * s0 ** 2
+
+            def body(cov_x, gv_k):
+                cov_u = K @ cov_x @ K.T
+                su = jnp.sqrt(jnp.clip(jnp.diag(cov_u), 0.0))
+                sx = jnp.sqrt(jnp.clip(jnp.diag(cov_x), 0.0))
+                raw_u = icdf * (A_u_abs @ su)
+                raw_s = icdf * (A_s_abs @ sx)
+                tu = jnp.minimum(raw_u, frac * b_u_abs)
+                ts = jnp.minimum(raw_s, frac * b_s_abs)
+                binds = (jnp.sum(raw_u > frac * b_u_abs)
+                         + jnp.sum(raw_s > frac * b_s_abs))
+                cov_d = jnp.zeros((nx, nx), jnp.float32).at[
+                    target_mask, target_mask].set(
+                    jnp.clip(gv_k, 0.0) + tp['noise_var'])
+                return A_cl @ cov_x @ A_cl.T + cov_d, (ts, tu, binds)
+
+            cov_T, (ts, tu, binds) = jax.lax.scan(body, cov0, gp_var)
+            sxT = jnp.sqrt(jnp.clip(jnp.diag(cov_T), 0.0))
+            raw_T = icdf * (A_s_abs @ sxT)
+            ts_T = jnp.minimum(raw_T, frac * b_s_abs)
+            tight_s = jnp.concatenate([ts, ts_T[None]], axis=0) * has_prev
+            tight_u = tu * has_prev
+            n_binds = (binds.sum() + jnp.sum(raw_T > frac * b_s_abs)) \
+                * has_prev.astype(jnp.int32)
+            return tight_s, tight_u, n_binds
+
+        def fused(x_init, goal_states, X0, U0, z0, y0, x_prev_T, u_prev_T,
+                  has_prev, dp, tp):
+            tight_s, tight_u, n_binds = tighten(x_prev_T, u_prev_T, tp,
+                                                has_prev)
+            X, U, z, y, res = solve_raw(x_init, goal_states, X0, U0, z0, y0,
+                                        tight_s, tight_u, dp)
+            return X, U, z, y, res, n_binds
+
+        self._tighten_raw = tighten
+        self._tighten_jit = jax.jit(tighten)
+        self._fused_jit = jax.jit(fused)
+        self._batch_solvers = {}
+
+    def _dispatch_solve(self, obs_j, goal_j, X0, U0, z0, y0, step):
+        """ONE device dispatch per control step: tightening + GP dynamics +
+        SQP in a single jitted program (the host path was a numpy loop over
+        T with a device GP-variance query followed by a separate solve
+        dispatch — several tunnel round-trips per step)."""
+        if not self._gp_trained or self._fused_jit is None:
+            return super()._dispatch_solve(obs_j, goal_j, X0, U0, z0, y0,
+                                           step)
+        nx, nu, T = self.model.nx, self.model.nu, self.T
+        if self.x_prev is not None and self.u_prev is not None:
+            x_prev_T = jnp.asarray(np.asarray(self.x_prev).T, jnp.float32)
+            u_prev_T = jnp.asarray(
+                np.atleast_2d(self.u_prev).reshape(nu, T).T, jnp.float32)
+            has_prev = jnp.float32(1.0)
+        else:
+            x_prev_T = jnp.zeros((T + 1, nx), jnp.float32)
+            u_prev_T = jnp.zeros((T, nu), jnp.float32)
+            has_prev = jnp.float32(0.0)
+        X, U, z, y, res, n_binds = self._fused_jit(
+            obs_j, goal_j, X0, U0, z0, y0, x_prev_T, u_prev_T, has_prev,
+            self.dynamics_params, self._tighten_params)
+        self._last_cap_binds = n_binds
+        return X, U, z, y, res
+
+    # -- batched control ---------------------------------------------------
+    def select_action_batch(self, obs_batch, step: int = 0,
+                            passes: int = 2):
+        """B independent GP-MPC solves in ONE vmapped device program — the
+        batched-solver counterpart of ``certify_action_batch`` and
+        examples/mpc/batched_mpc_demo.py, applied to the framework's most
+        expensive controller. Per problem this matches the reference's
+        select_action_with_gp semantics (gp_mpc.py:584-676): GP-mean
+        dynamics + chance-tightened constraints; since cold-started batch
+        elements have no previous trajectory, the tightening is obtained by
+        iterated passes — pass 1 solves untightened, each later pass
+        tightens around the previous pass's own solution trajectory (the
+        receding-horizon analog of 'previous solve' that select_action
+        uses).
+
+        Returns ``(actions (B, nu), feasible (B,) bool, n_binds (B,))``.
+        """
+        if not self._gp_trained or self._tighten_raw is None:
+            raise RuntimeError(
+                'select_action_batch requires a trained GP and linear '
+                'constraints (call learn()/train_gp() first).')
+        nx, nu, T = self.model.nx, self.model.nu, self.T
+        obs_batch = np.atleast_2d(np.asarray(obs_batch, np.float32))[:, :nx]
+        goal_j = jnp.asarray(self.get_references(step).T, jnp.float32)
+        passes = max(1, int(passes))
+        fn = self._batch_solvers.get(passes)
+        if fn is None:
+            tighten = self._tighten_raw
+            solve = self._solve_raw
+            U_EQ = jnp.asarray(self.U_EQ, jnp.float32)
+            ms, mu = self._ms, self._mu
+            n_z, m_rows = self._n_z, self._m_rows
+
+            def solve_one(x0, goal, dp, tp):
+                X0 = jnp.tile(x0, (T + 1, 1))
+                U0 = jnp.tile(U_EQ, (T, 1))
+                z0 = jnp.zeros((n_z,), jnp.float32)
+                y0 = jnp.zeros((m_rows,), jnp.float32)
+                ts = jnp.zeros((T + 1, ms), jnp.float32)
+                tu = jnp.zeros((T, mu), jnp.float32)
+                X, U, z, y, res = solve(x0, goal, X0, U0, z0, y0, ts, tu, dp)
+                binds = jnp.int32(0)
+                for _ in range(passes - 1):
+                    ts, tu, binds = tighten(X, U, tp, jnp.float32(1.0))
+                    X, U, z, y, res = solve(x0, goal, X, U, z, y, ts, tu, dp)
+                return U[0], res, binds
+
+            fn = jax.jit(jax.vmap(solve_one,
+                                  in_axes=(0, None, None, None)))
+            self._batch_solvers[passes] = fn
+        u0, res, binds = fn(jnp.asarray(obs_batch), goal_j,
+                            self.dynamics_params, self._tighten_params)
+        res_np = np.asarray(res)
+        scale = np.maximum(1.0, np.abs(obs_batch).max(axis=1))
+        scale = np.maximum(scale, float(np.max(np.abs(goal_j))))
+        tol = self.feas_tol * (scale if self.feas_tol_relative
+                               else np.ones_like(scale))
+        feasible = np.isfinite(res_np) & (res_np < tol)
+        return np.asarray(u0), feasible, np.asarray(binds)
 
     # -- control ------------------------------------------------------------
     def select_action(self, obs, info=None):
@@ -436,6 +639,13 @@ class GPMPC(LinearMPC):
             self.gaussian_process.add_data(inp, tgt)
             self._refresh_dynamics_params()
         action = super().select_action(obs, info)
+        # Observability of degraded chance-constraint guarantees: when the
+        # tightening cap binds, the effective satisfaction probability is
+        # below the configured ``prob`` — record how many rows were capped
+        # this step so users can see the guarantee weakening.
+        if hasattr(self, 'results_dict'):
+            self.results_dict.setdefault('tightening_cap_binds', []).append(
+                int(self._last_cap_binds))
         self.last_obs = np.asarray(obs)
         self.last_action = np.asarray(action)
         return action
@@ -460,9 +670,11 @@ class GPMPC(LinearMPC):
         A_cl = self.Ad + self.Bd @ K
         # GP predictive variance along the previous trajectory, plus the
         # learned observation-noise variance (gp_mpc.py:323-327).
+        # Full (x, u) rows: GaussianProcessCollection.predict applies the
+        # input mask internally (masking here too would apply it twice).
         z_prev = np.concatenate([self.x_prev[:, :-1].T,
                                  np.atleast_2d(self.u_prev).reshape(nu, T).T],
-                                axis=1)[:, self.input_mask]
+                                axis=1)
         _, gp_var = self.gaussian_process.predict(z_prev)  # (T, n_targets)
         noise_var = np.array([float(np.exp(gp.params['log_noise_var']))
                               for gp in self.gaussian_process.gps])
@@ -470,12 +682,17 @@ class GPMPC(LinearMPC):
         state_cons = self.constraints.state_constraints
         input_cons = self.constraints.input_constraints
 
+        cap_binds = [0]
+
         def _cap(rows, con):
             # Never tighten past max_tightening_frac of the nominal margin:
             # an uncertain GP must degrade the chance constraint, not render
-            # the QP infeasible (bound pairs crossing).
-            return np.minimum(self.inverse_cdf * rows,
-                              self.max_tightening_frac * np.abs(con.b))
+            # the QP infeasible (bound pairs crossing). Count capped rows so
+            # the weakened probabilistic guarantee is observable.
+            lim = self.max_tightening_frac * np.abs(con.b)
+            raw = self.inverse_cdf * rows
+            cap_binds[0] += int(np.sum(raw > lim))
+            return np.minimum(raw, lim)
 
         for k in range(T):
             # Input tightening via the LQR feedback covariance.
@@ -506,6 +723,7 @@ class GPMPC(LinearMPC):
             rows = np.abs(con.A) @ sx
             tight_s[T, ofs_s:ofs_s + con.num_constraints] = _cap(rows, con)
             ofs_s += con.num_constraints
+        self._last_cap_binds = cap_binds[0]
         return jnp.asarray(tight_s), jnp.asarray(tight_u)
 
     # ------------------------------------------------------------------

@@ -365,10 +365,14 @@ class BatchGaussianProcess:
                     best_l = jnp.where(better, track, best_l)
                     return (params, state, best_p, best_l), loss
 
-                (params, _, best_p, _), losses = jax.lax.scan(
+                (params, _, best_p, best_l), losses = jax.lax.scan(
                     body, init, None, length=n_train)
+                # Report the loss of the parameters actually returned: the
+                # best held-out NLL when checkpointing on test data, else
+                # the final training NLL.
                 out = best_p if has_test else params
-                return out, losses[-1]
+                out_l = best_l if has_test else losses[-1]
+                return out, out_l
 
             yt_stack = Yt if has_test else Y  # same (N?,D) leading split
             return jax.vmap(one_dim, in_axes=(0, 1, 1))(

@@ -188,9 +188,14 @@ class MPC(BaseController):
         m_rows = nx + T * nx + (T + 1) * ms + T * mu + n_slack
 
         # Constant cost Hessian (mpc.py:192-210): stage Q, terminal Q or P,
-        # inputs R, slack quadratic penalty.
+        # inputs R, slack quadratic penalty. Stage weights are overridable
+        # by subclasses with different stage/terminal scaling conventions
+        # (MPC_ACADOS's LINEAR_LS W = blkdiag(Q/dt, R/dt) with terminal W_e
+        # left unscaled, reference mpc_acados.py:104-117).
+        Q_stage = np.asarray(getattr(self, 'Q_stage', self.Q))
+        R_stage = np.asarray(getattr(self, 'R_stage', self.R))
         Qterm = self.P if self.use_lqr_gain_and_terminal_cost else self.Q
-        P_diagblocks = ([self.Q] * T + [Qterm] + [self.R] * T
+        P_diagblocks = ([Q_stage] * T + [Qterm] + [R_stage] * T
                         + ([np.eye(n_slack) * 2 * self.soft_penalty]
                            if n_slack else []))
         P_qp = np.zeros((n_z, n_z))
@@ -255,9 +260,9 @@ class MPC(BaseController):
                 return _fd0(x, u)
         else:
             fd_p = fd_param
-        Q = jnp.asarray(self.Q, jnp.float32)
+        Q = jnp.asarray(Q_stage, jnp.float32)
         Qterm_j = jnp.asarray(Qterm, jnp.float32)
-        R = jnp.asarray(self.R, jnp.float32)
+        R = jnp.asarray(R_stage, jnp.float32)
         U_EQ = jnp.asarray(self.U_EQ, jnp.float32)
         tol = float(self.constraint_tol)
         qp_iters = self.qp_iters
@@ -364,12 +369,10 @@ class MPC(BaseController):
             U0 = jnp.tile(jnp.asarray(self.U_EQ, jnp.float32), (T, 1))
             z0 = jnp.zeros((self._n_z,), jnp.float32)
             y0 = jnp.zeros((self._m_rows,), jnp.float32)
-        tight_s, tight_u = self._constraint_tightening(step)
-        dp = getattr(self, 'dynamics_params', None)
         used_warmstart = (self.warmstart and self.x_prev is not None
                           and self.u_prev is not None)
-        X, U, z, y, res = self._solve_jit(obs_j, goal_j, X0, U0, z0, y0,
-                                          tight_s, tight_u, dp)
+        X, U, z, y, res = self._dispatch_solve(obs_j, goal_j, X0, U0, z0, y0,
+                                               step)
         tol = self.feas_tol
         if self.feas_tol_relative:
             tol = tol * max(1.0, float(np.max(np.abs(np.asarray(obs)))),
@@ -383,8 +386,8 @@ class MPC(BaseController):
             U0 = jnp.tile(jnp.asarray(self.U_EQ, jnp.float32), (T, 1))
             z0 = jnp.zeros((self._n_z,), jnp.float32)
             y0 = jnp.zeros((self._m_rows,), jnp.float32)
-            X, U, z, y, res = self._solve_jit(obs_j, goal_j, X0, U0, z0, y0,
-                                              tight_s, tight_u, dp)
+            X, U, z, y, res = self._dispatch_solve(obs_j, goal_j, X0, U0,
+                                                   z0, y0, step)
             feasible = bool(np.isfinite(float(res)) and float(res) < tol)
         if feasible:
             x_val = np.asarray(X).T       # (nx, T+1) like the reference
@@ -414,6 +417,15 @@ class MPC(BaseController):
             action = action + self.lqr_gain @ (np.asarray(obs) - x_val[:, 0])
         self.prev_action = action
         return action
+
+    def _dispatch_solve(self, obs_j, goal_j, X0, U0, z0, y0, step):
+        """One device dispatch for the receding-horizon solve. Subclasses
+        that derive per-step tightening from device state (GP-MPC) override
+        this so tightening + SQP fuse into a single jitted program."""
+        tight_s, tight_u = self._constraint_tightening(step)
+        dp = getattr(self, 'dynamics_params', None)
+        return self._solve_jit(obs_j, goal_j, X0, U0, z0, y0,
+                               tight_s, tight_u, dp)
 
     def _constraint_tightening(self, step):
         """Per-step constraint bound tightening (zeros by default;
@@ -459,9 +471,12 @@ class MPC(BaseController):
         if terminate_run_on_done is None:
             terminate_run_on_done = getattr(self, 'terminate_run_on_done',
                                             True)
-        self.x_prev = None
-        self.u_prev = None
-        self._qp_warm = None
+        # Full pre-run reset (not just the warm-start fields): subclasses
+        # extend reset_before_run with their own per-run state — GPMPC
+        # clears last_obs/last_action there, and skipping it would leak a
+        # cross-episode transition into the online-learning GP update on
+        # the first step of the next run.
+        self.reset_before_run()
         obs, info = env.reset()
         self.setup_results_dict()
         self.results_dict['obs'].append(obs)

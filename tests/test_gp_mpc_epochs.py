@@ -105,8 +105,11 @@ def test_online_learning_updates_without_recompile():
         obs, _, _, info = env.step(action)
     n_real_after = int(np.sum(np.asarray(gp0._point_noise) == 0.0))
     assert n_real_after == n_real_before + 3  # first step has no transition
-    # One compiled program for all steps: shapes never changed.
-    assert ctrl._solve_jit._cache_size() == 1
+    # One compiled program for all steps: shapes never changed. (The live
+    # dispatch program is the round-3 fused tightening+solve when GP-aware;
+    # the split _solve_jit otherwise.)
+    prog = ctrl._fused_jit if ctrl._fused_jit is not None else ctrl._solve_jit
+    assert prog._cache_size() == 1
     # Ring behavior: more steps than the buffer wraps without growing.
     for _ in range(8):
         action = ctrl.select_action(obs, info)
