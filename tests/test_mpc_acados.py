@@ -69,3 +69,69 @@ def test_rti_tracks_with_bounded_cost_vs_sqp():
     med_rti = float(np.median(t_rti[5:]))
     med_sqp = float(np.median(t_sqp[5:]))
     assert med_rti < med_sqp, (med_rti, med_sqp)
+
+
+def test_linear_ls_cost_scaling():
+    """acados LINEAR_LS semantics: the QP Hessian's stage blocks are
+    Q/dt and R/dt while the terminal block stays the unscaled Q
+    (W = blkdiag(Q/dt, R/dt), W_e = Q — mpc_acados.py:104-117)."""
+    env_func = partial(make, 'cartpole', **CFG)
+    ctrl = make('mpc_acados', env_func, horizon=4, q_mpc=[2, 1, 2, 1],
+                r_mpc=[0.5], seed=0)
+    ctrl.reset()
+    nx, nu, T = ctrl.model.nx, ctrl.model.nu, ctrl.T
+    P_qp = np.asarray(ctrl._P_qp)
+    dt = ctrl.dt
+    # Stage state blocks: Q/dt.
+    for k in range(T):
+        blk = P_qp[k * nx:(k + 1) * nx, k * nx:(k + 1) * nx]
+        np.testing.assert_allclose(blk, np.asarray(ctrl.Q) / dt, rtol=1e-5)
+    # Terminal block: unscaled Q.
+    term = P_qp[T * nx:(T + 1) * nx, T * nx:(T + 1) * nx]
+    np.testing.assert_allclose(term, np.asarray(ctrl.Q), rtol=1e-5)
+    # Input blocks: R/dt.
+    ofs = (T + 1) * nx
+    for k in range(T):
+        blk = P_qp[ofs + k * nu:ofs + (k + 1) * nu,
+                   ofs + k * nu:ofs + (k + 1) * nu]
+        np.testing.assert_allclose(blk, np.asarray(ctrl.R) / dt, rtol=1e-5)
+    ctrl.close()
+
+
+def test_stage_scaling_changes_solution_vs_plain_mpc():
+    """The 1/dt stage weighting must actually move the solution: with
+    dt = 1/15 the stage cost dominates the terminal 15x more than in the
+    plain parent MPC, so the first action differs measurably."""
+    env_func = partial(make, 'cartpole', **CFG)
+    acados = make('mpc_acados', env_func, horizon=10, q_mpc=[5, 0.1, 5, 0.1],
+                  r_mpc=[0.1], use_RTI=False, seed=0)
+    plain = make('mpc', env_func, horizon=10, q_mpc=[5, 0.1, 5, 0.1],
+                 r_mpc=[0.1], sqp_iters=5, seed=0)
+    acados.reset()
+    plain.reset()
+    env = env_func()
+    obs, info = env.reset()
+    a1 = acados.select_action(obs, info)
+    a2 = plain.select_action(obs, info)
+    assert np.all(np.isfinite(a1)) and np.all(np.isfinite(a2))
+    assert float(np.max(np.abs(a1 - a2))) > 1e-3, (a1, a2)
+    acados.close()
+    plain.close()
+    env.close()
+
+
+def test_integrator_and_constraint_validation():
+    """Only ERK integration and box constraints are accepted
+    (mpc_acados.py:119-136, :166)."""
+    import pytest
+    env_func = partial(make, 'cartpole', **CFG)
+    with pytest.raises(ValueError, match='ERK'):
+        make('mpc_acados', env_func, integrator_type='IRK', seed=0)
+    cfg_quad = dict(CFG)
+    cfg_quad['constraints'] = [
+        {'constraint_form': 'quadratic_constraint',
+         'constrained_variable': 'state',
+         'P': np.eye(4).tolist(), 'b': 1.0}]
+    env_func_quad = partial(make, 'cartpole', **cfg_quad)
+    with pytest.raises(ValueError, match='BoundedConstraint'):
+        make('mpc_acados', env_func_quad, seed=0)
