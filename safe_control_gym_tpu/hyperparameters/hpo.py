@@ -70,14 +70,34 @@ class HPO:
             self.hpo_config.get('approximation_threshold', 5.0))
         self.max_extra_repetitions = int(
             self.hpo_config.get('max_extra_repetitions', 4))
+        # Objective/direction lists (reference hpo.py:59 asserts equal
+        # length; a list of len > 1 makes this a Pareto study,
+        # hpo.py:216-230). 'return' = CVaR over raw episode returns (the
+        # native fast path); any other name is a MetricExtractor metric key
+        # evaluated per repetition (the reference's
+        # ``metrics[objective[0]]``, hpo.py:139).
+        obj = self.hpo_config.get('objective', ['return'])
+        dirs = self.hpo_config.get('direction', ['maximize'])
+        self.objectives = [obj] if isinstance(obj, str) else list(obj)
+        self.directions = [dirs] if isinstance(dirs, str) else list(dirs)
+        assert len(self.objectives) == len(self.directions), \
+            'objective and direction must have the same length'
         os.makedirs(output_dir, exist_ok=True)
+        if len(self.objectives) > 1:
+            # Median pruning is undefined on a Pareto front (optuna raises
+            # on report() in MO studies); disable it like the reference's
+            # MO configs effectively do.
+            self.use_pruner = False
         pruner = (MedianPruner(
             n_startup_trials=int(self.hpo_config.get('pruner_startup_trials',
                                                      5)),
             n_warmup_steps=int(self.hpo_config.get('pruner_warmup_steps', 0)))
             if self.use_pruner else None)
         self.study = create_study(
-            study_name=f'{algo}_hpo', direction='maximize', sampler=sampler,
+            study_name=f'{algo}_hpo',
+            direction=(self.directions if len(self.directions) > 1
+                       else self.directions[0]),
+            sampler=sampler,
             seed=int(self.hpo_config.get('seed', 0)),
             storage_path=os.path.join(output_dir, 'study.json'),
             pruner=pruner)
@@ -85,12 +105,17 @@ class HPO:
     # ------------------------------------------------------------------
     def _one_repetition(self, trial, rep) -> list:
         """Train + evaluate once; returns the episode-return list."""
-        seed = 1000 * (trial.number + 1) + rep
+        # Seeds and output dirs derive from the trial's globally unique
+        # uid, not its locally computed number: concurrent workers sharing
+        # one study can race to the same number between refreshes, which
+        # would duplicate seeds and clobber each other's trial dirs.
+        seed = 1000 * (int(trial.uid[:8], 16) % 100_000 + 1) + rep
         env_func = partial(make, self.task, seed=seed, **self.task_config)
         cfg = {**self.algo_config, **self._suggestion}
         ctrl = make(self.algo, env_func, seed=seed,
                     output_dir=os.path.join(
-                        self.output_dir, f'trial_{trial.number}'),
+                        self.output_dir,
+                        f'trial_{trial.number}_{trial.uid[:8]}'),
                     **cfg)
         if hasattr(ctrl, 'reset'):
             ctrl.reset()
@@ -106,41 +131,83 @@ class HPO:
         ctrl.close()
         return out
 
-    def objective(self, trial) -> float:
-        """One trial: repeated train+eval, CVaR score, per-repetition
-        pruning reports, and extra repetitions near the incumbent
-        (hpo.py:111-158)."""
+    def _one_repetition_metrics(self, trial, rep) -> dict:
+        """Train + evaluate once, returning the full MetricExtractor dict
+        (the reference's per-repetition ``metrics[objective]`` source,
+        hpo.py:136-139). Used whenever the objective list names metric
+        keys instead of the raw-'return' fast path."""
+        seed = 1000 * (int(trial.uid[:8], 16) % 100_000 + 1) + rep
+        env_func = partial(make, self.task, seed=seed, **self.task_config)
+        cfg = {**self.algo_config, **self._suggestion}
+        ctrl = make(self.algo, env_func, seed=seed,
+                    output_dir=os.path.join(
+                        self.output_dir,
+                        f'trial_{trial.number}_{trial.uid[:8]}'),
+                    **cfg)
+        if hasattr(ctrl, 'reset'):
+            ctrl.reset()
+        ctrl.learn()
+        exp = BaseExperiment(env_func(), ctrl)
+        _, metrics = exp.run_evaluation(n_episodes=self.n_episodes,
+                                        verbose=False)
+        exp.close()
+        return metrics
+
+    def objective(self, trial):
+        """One trial: repeated train+eval, per-objective CVaR scores,
+        per-repetition pruning reports, and extra repetitions near the
+        incumbent (hpo.py:111-158). Scalar studies return a float;
+        multi-objective studies return the per-objective score list
+        (hpo.py:216-230)."""
         sampler_fn = HYPERPARAMS_SAMPLER[self.algo]
         self._suggestion = sampler_fn(self.hps_config, trial)
-        returns = []
-        cvar = 0.0
+        multi = len(self.objectives) > 1
+        metric_mode = self.objectives != ['return']
+        samples = {n: [] for n in self.objectives}
+
+        def _collect(rep):
+            if metric_mode:
+                metrics = self._one_repetition_metrics(trial, rep)
+                for n in self.objectives:
+                    samples[n].append(float(metrics[n]))
+            else:
+                samples['return'].extend(self._one_repetition(trial, rep))
+
+        def _scores():
+            # Risk-sensitive per objective: CVaR of the WORST tail under
+            # that objective's own direction (lower tail when maximizing,
+            # upper tail when minimizing).
+            return [float(compute_cvar(np.asarray(samples[n]),
+                                       self.cvar_alpha,
+                                       lower_range=(d == 'maximize')))
+                    for n, d in zip(self.objectives, self.directions)]
+
+        scores = [0.0] * len(self.objectives)
         try:
             for rep in range(self.n_repetitions):
-                returns.extend(self._one_repetition(trial, rep))
-                cvar = compute_cvar(np.asarray(returns), self.cvar_alpha,
-                                    lower_range=True)
+                _collect(rep)
+                scores = _scores()
                 # Real intermediate reporting (the reference leaves this as
                 # a TODO next to its MedianPruner, hpo.py:116).
-                trial.report(cvar, step=rep)
-                if rep + 1 < self.n_repetitions and trial.should_prune():
+                trial.report(scores[0], step=rep)
+                if (not multi and rep + 1 < self.n_repetitions
+                        and trial.should_prune()):
                     raise TrialPruned()
             # Extra repetitions near the incumbent: better-than-best trials
             # get more runs until the CVaR estimate stabilizes
-            # (hpo.py:149-158 'dynamical runs').
-            if (self.dynamical_runs
+            # (hpo.py:149-158 'dynamical runs'; scalar studies only, like
+            # the reference).
+            if (not multi and self.dynamical_runs
                     and len(self.study.trials) >= self.warm_trials
-                    and (self.study.best_value is None
-                         or cvar > self.study.best_value)):
+                    and self.study.is_better(scores[0])):
                 rep = self.n_repetitions
                 while rep < self.n_repetitions + self.max_extra_repetitions:
-                    returns.extend(self._one_repetition(trial, rep))
-                    new_cvar = compute_cvar(np.asarray(returns),
-                                            self.cvar_alpha,
-                                            lower_range=True)
-                    trial.report(new_cvar, step=rep)
-                    stable = abs(new_cvar - cvar) <= \
+                    _collect(rep)
+                    new_scores = _scores()
+                    trial.report(new_scores[0], step=rep)
+                    stable = abs(new_scores[0] - scores[0]) <= \
                         self.approximation_threshold
-                    cvar = new_cvar
+                    scores = new_scores
                     rep += 1
                     if stable:
                         break
@@ -149,8 +216,8 @@ class HPO:
         except Exception as e:
             # Crashed trials score 0 (hpo.py:111-133).
             print(f'[HPO] trial crashed: {e}')
-            return 0.0
-        return cvar
+            return [0.0] * len(self.objectives) if multi else 0.0
+        return scores if multi else scores[0]
 
     # ------------------------------------------------------------------
     def hyperparameter_optimization(self):
@@ -161,7 +228,11 @@ class HPO:
         return self.study
 
     def save_results(self, top_n: int = 3):
-        """trials.csv + top-n hyperparameter YAMLs (hpo.py:211-264)."""
+        """trials.csv + best-hyperparameter YAMLs + importance/history
+        plots (hpo.py:211-264). Scalar study: top-n YAMLs by value.
+        Multi-objective: one YAML per Pareto-optimal trial, named by its
+        objective vector like the reference's
+        ``best_hyperparameters_[v0,v1].yaml`` (hpo.py:239-247)."""
         rows = self.study.trials_dataframe()
         if not rows:
             return
@@ -172,14 +243,113 @@ class HPO:
             w.writeheader()
             for r in rows:
                 w.writerow(r)
-        done = [r for r in rows if r.get('value') is not None]
-        done.sort(key=lambda r: r['value'], reverse=True)
-        for i, r in enumerate(done[:top_n]):
-            params = {k: v for k, v in r.items()
-                      if k not in ('number', 'value', 'state')}
-            with open(os.path.join(self.output_dir,
-                                   f'hyperparameters_{i}.yaml'), 'w') as f:
-                yaml.dump(params, f, default_flow_style=False)
+        if len(self.objectives) > 1:
+            for t in self.study.best_trials:
+                vs = self.study._values_of(t)
+                tag = ','.join(f'{v:.4f}' for v in vs)
+                with open(os.path.join(
+                        self.output_dir,
+                        f'best_hyperparameters_[{tag}].yaml'), 'w') as f:
+                    yaml.dump(dict(t['params']), f,
+                              default_flow_style=False)
+        else:
+            done = [r for r in rows if r.get('value') is not None]
+            done.sort(key=lambda r: r['value'],
+                      reverse=(self.directions[0] == 'maximize'))
+            for i, r in enumerate(done[:top_n]):
+                params = {k: v for k, v in r.items()
+                          if k not in ('number', 'value', 'state')}
+                with open(os.path.join(
+                        self.output_dir,
+                        f'hyperparameters_{i}.yaml'), 'w') as f:
+                    yaml.dump(params, f, default_flow_style=False)
+        try:
+            self.save_plots()
+        except Exception as e:  # plotting must never fail the study
+            print(f'[HPO] plotting failed: {e}')
+
+    # -- study visualization -------------------------------------------
+    def _param_importances(self, trials, values):
+        """Correlation-based importance (fANOVA-lite): |rank correlation|
+        between each hyperparameter and the objective, normalized to sum
+        to 1 — the role of optuna.importance in the reference's
+        ``plot_param_importances`` (hpo.py:237-244)."""
+        names = sorted({k for t in trials for k in t['params']})
+        v = np.asarray(values, float)
+        imps = {}
+        for name in names:
+            xs, ys = [], []
+            for t, val in zip(trials, values):
+                if name in t['params']:
+                    xs.append(t['params'][name])
+                    ys.append(val)
+            if len(xs) < 3:
+                imps[name] = 0.0
+                continue
+            ys = np.asarray(ys, float)
+            try:
+                x_num = np.asarray(xs, float)
+            except (TypeError, ValueError):
+                # Categorical: encode each category by its group mean.
+                cats = {c: np.mean([y for x, y in zip(xs, ys) if x == c])
+                        for c in set(xs)}
+                x_num = np.asarray([cats[x] for x in xs], float)
+            if np.std(x_num) == 0 or np.std(ys) == 0:
+                imps[name] = 0.0
+                continue
+            rx = np.argsort(np.argsort(x_num)).astype(float)
+            ry = np.argsort(np.argsort(ys)).astype(float)
+            imps[name] = float(abs(np.corrcoef(rx, ry)[0, 1]))
+        total = sum(imps.values())
+        if total > 0:
+            imps = {k: v / total for k, v in imps.items()}
+        return imps
+
+    def save_plots(self):
+        """``param_importances.png`` + ``optimization_history.png`` per
+        study — per objective for multi-objective studies, matching the
+        reference's file naming (hpo.py:237-262)."""
+        import matplotlib
+        matplotlib.use('Agg')
+        import matplotlib.pyplot as plt
+        trials = [t for t in self.study.trials
+                  if self.study._values_of(t) is not None]
+        if not trials:
+            return
+        multi = len(self.objectives) > 1
+        for i, (name, direction) in enumerate(zip(self.objectives,
+                                                  self.directions)):
+            suffix = f'_{name}' if multi else ''
+            values = [self.study._values_of(t)[i] for t in trials]
+            numbers = [t['number'] for t in trials]
+            # Optimization history: per-trial objective + running best.
+            fig, ax = plt.subplots(figsize=(6, 4))
+            ax.scatter(numbers, values, s=18, label='trial value')
+            best_fn = np.maximum if direction == 'maximize' else np.minimum
+            ax.plot(numbers, best_fn.accumulate(values), color='tab:red',
+                    label='best value')
+            ax.set_xlabel('trial')
+            ax.set_ylabel(name if multi else 'objective value')
+            ax.set_title(f'Optimization history ({direction})')
+            ax.legend()
+            fig.tight_layout()
+            fig.savefig(os.path.join(self.output_dir,
+                                     f'optimization_history{suffix}.png'))
+            plt.close(fig)
+            # Parameter importances.
+            imps = self._param_importances(trials, values)
+            if imps:
+                order = sorted(imps, key=imps.get)
+                fig, ax = plt.subplots(
+                    figsize=(6, 0.5 + 0.35 * len(order)))
+                ax.barh(order, [imps[k] for k in order])
+                ax.set_xlabel('importance (normalized |rank corr|)')
+                ax.set_title(f'Hyperparameter importances'
+                             f'{" — " + name if multi else ""}')
+                fig.tight_layout()
+                fig.savefig(os.path.join(
+                    self.output_dir, f'param_importances{suffix}.png'))
+                plt.close(fig)
 
     def checkpoint(self):
         self.study._persist()

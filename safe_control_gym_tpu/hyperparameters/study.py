@@ -66,8 +66,13 @@ class Trial:
     """Parameter-suggestion context for one objective evaluation."""
 
     def __init__(self, number: int, sampler, history: List[Dict],
-                 pruner: Optional[MedianPruner] = None, sign=1.0):
+                 pruner: Optional[MedianPruner] = None, sign=1.0,
+                 uid: Optional[str] = None):
         self.number = number
+        # Globally unique id, assigned at creation: concurrent workers
+        # sharing one study can compute the same `number` between refreshes,
+        # so seeds/output dirs must derive from `uid`, never `number`.
+        self.uid = uid or uuid.uuid4().hex
         self._sampler = sampler
         self._history = history
         self._pruner = pruner
@@ -186,7 +191,15 @@ class Study:
     def __init__(self, study_name='study', direction='maximize',
                  sampler=None, storage_path=None, pruner=None):
         self.study_name = study_name
-        self.direction = direction
+        # Single- OR multi-objective: a str keeps the scalar API; a list of
+        # directions makes this a Pareto study (the reference passes
+        # ``directions=[...]`` to optuna.create_study, hpo.py:216-230).
+        if isinstance(direction, (list, tuple)):
+            self.directions = [str(d) for d in direction]
+            self.direction = self.directions[0]
+        else:
+            self.directions = [str(direction)]
+            self.direction = str(direction)
         self.sampler = sampler or TPESampler()
         self.pruner = pruner
         self.storage_path = storage_path
@@ -195,8 +208,42 @@ class Study:
             with open(storage_path) as f:
                 self.trials = json.load(f)
 
+    @property
+    def n_objectives(self):
+        return len(self.directions)
+
     def _sign(self, v):
         return -v if self.direction == 'maximize' else v
+
+    # -- multi-objective helpers ----------------------------------------
+    def _values_of(self, t) -> Optional[List[float]]:
+        """Per-objective value vector of a trial record (None if not done)."""
+        vs = t.get('values')
+        if vs is None and t.get('value') is not None:
+            vs = [t['value']]
+        return vs
+
+    def _dominates(self, a: List[float], b: List[float]) -> bool:
+        """a Pareto-dominates b under this study's directions."""
+        at_least_as_good = all(
+            (x >= y if d == 'maximize' else x <= y)
+            for x, y, d in zip(a, b, self.directions))
+        strictly_better = any(
+            (x > y if d == 'maximize' else x < y)
+            for x, y, d in zip(a, b, self.directions))
+        return at_least_as_good and strictly_better
+
+    def _scalar_history_value(self, t, done_values) -> Optional[float]:
+        """Lower-is-better scalar the sampler can rank trials by. Scalar
+        studies: the signed value. Multi-objective: the trial's domination
+        count (how many completed trials Pareto-dominate it) — Pareto-rank
+        scalarization, the MO-TPE-lite good/bad split."""
+        vs = self._values_of(t)
+        if vs is None:
+            return None
+        if self.n_objectives == 1:
+            return self._sign(vs[0])
+        return float(sum(self._dominates(o, vs) for o in done_values))
 
     def optimize(self, objective, n_trials=10, catch=()):
         for _ in range(n_trials):
@@ -204,8 +251,10 @@ class Study:
             # the shared study state (the reference's MySQL storage role,
             # hyperparameters/database.py).
             self.refresh()
-            history = [dict(t, value=self._sign(t['value'])
-                            if t['value'] is not None else None)
+            done_values = [self._values_of(t) for t in self.trials
+                           if self._values_of(t) is not None]
+            history = [dict(t, value=self._scalar_history_value(t,
+                                                                done_values))
                        for t in self.trials]
             trial = Trial(len(self.trials), self.sampler, history,
                           pruner=self.pruner,
@@ -221,9 +270,16 @@ class Study:
                 print(f'[HPO] trial {trial.number} failed: {e}')
                 value = None
                 state = 'FAIL'
-            self.trials.append({'uid': uuid.uuid4().hex,
+            if isinstance(value, (list, tuple)):
+                values = [float(v) for v in value]
+                scalar = values[0]
+            else:
+                values = [float(value)] if value is not None else None
+                scalar = value
+            self.trials.append({'uid': trial.uid,
                                 'number': trial.number,
-                                'params': trial.params, 'value': value,
+                                'params': trial.params, 'value': scalar,
+                                'values': values,
                                 'state': state,
                                 'intermediate': trial.intermediate})
             self._persist()
@@ -296,10 +352,54 @@ class Study:
         bt = self.best_trial
         return bt['value'] if bt else None
 
+    @property
+    def best_trials(self):
+        """Pareto-optimal completed trials (multi-objective ``best_trials``
+        of optuna, reference hpo.py:239-247). For scalar studies this is
+        the single best trial in a list."""
+        done = [t for t in self.trials if self._values_of(t) is not None]
+        if not done:
+            return []
+        if self.n_objectives == 1:
+            return [self.best_trial]
+        front = []
+        for t in done:
+            vt = self._values_of(t)
+            if not any(self._dominates(self._values_of(o), vt)
+                       for o in done if o is not t):
+                front.append(t)
+        return front
+
+    def is_better(self, value) -> bool:
+        """True when ``value`` improves on the incumbent under this study's
+        own direction(s) (so callers never hardcode max/min semantics).
+        Multi-objective: true when the candidate vector is not dominated by
+        any completed trial."""
+        if value is None:
+            return False
+        if isinstance(value, (list, tuple)):
+            vs = [float(v) for v in value]
+            done = [self._values_of(t) for t in self.trials
+                    if self._values_of(t) is not None]
+            return not any(self._dominates(o, vs) for o in done)
+        best = self.best_value
+        if best is None:
+            return True
+        return value > best if self.direction == 'maximize' else value < best
+
     def trials_dataframe(self):
-        """Rows of (number, value, state, params...) as list of dicts."""
-        return [dict(number=t['number'], value=t['value'], state=t['state'],
-                     **t['params']) for t in self.trials]
+        """Rows of (number, value, state, params...) as list of dicts; a
+        multi-objective study adds one ``value_i`` column per objective."""
+        rows = []
+        for t in self.trials:
+            row = dict(number=t['number'], value=t['value'],
+                       state=t['state'], **t['params'])
+            if self.n_objectives > 1:
+                vs = self._values_of(t) or [None] * self.n_objectives
+                for i, v in enumerate(vs):
+                    row[f'value_{i}'] = v
+            rows.append(row)
+        return rows
 
 
 def create_study(study_name='study', direction='maximize', sampler='tpe',
