@@ -611,7 +611,8 @@ class GPMPC(LinearMPC):
             fn = jax.jit(jax.vmap(solve_one,
                                   in_axes=(0, None, None, None)))
             self._batch_solvers[passes] = fn
-        u0, res, binds = fn(jnp.asarray(obs_batch), goal_j,
+        x0s = self._place_batched(jnp.asarray(obs_batch))
+        u0, res, binds = fn(x0s, goal_j,
                             self.dynamics_params, self._tighten_params)
         res_np = np.asarray(res)
         scale = np.maximum(1.0, np.abs(obs_batch).max(axis=1))

@@ -346,6 +346,68 @@ class MPC(BaseController):
         # Raw solve kept for composition (vmapped/batched MPC, scenario MPC).
         self._solve_raw = solve
         self._solve_jit = jax.jit(solve)
+        self._batch_solve = None
+
+    # -- batched / multi-chip solves -------------------------------------
+    def shard_over(self, mesh, axis_name: str = 'data'):
+        """Distribute batched solves over a device mesh: the B independent
+        problems of ``select_action_batch`` (and subclass batch APIs) are
+        split across chips inside one SPMD program — problem data sharded
+        on the batch axis, solver constants replicated. Embarrassingly
+        parallel (zero collectives); the multi-chip path for MPC sweeps
+        and mass certification. Mirrors the RL controllers' shard_over."""
+        self._solve_mesh = mesh
+        self._solve_mesh_axis = axis_name
+
+    def _place_batched(self, *arrays):
+        """Put batch-leading arrays on the mesh (no-op without one)."""
+        mesh = getattr(self, '_solve_mesh', None)
+        if mesh is None:
+            return arrays if len(arrays) > 1 else arrays[0]
+        from jax.sharding import NamedSharding, PartitionSpec
+        sh = NamedSharding(mesh, PartitionSpec(self._solve_mesh_axis))
+        out = tuple(jax.device_put(a, sh) for a in arrays)
+        return out if len(out) > 1 else out[0]
+
+    def select_action_batch(self, obs_batch, step: int = 0):
+        """B independent cold-started receding-horizon solves in ONE
+        vmapped device program (the batched-NMPC pattern of
+        examples/mpc/batched_mpc_demo.py as a first-class API; no
+        reference equivalent — the reference runs one IPOPT process per
+        problem). After ``shard_over(mesh)`` the batch is split across
+        the mesh. Returns ``(actions (B, nu), feasible (B,) bool)``."""
+        nx, nu, T = self.model.nx, self.model.nu, self.T
+        obs_batch = np.atleast_2d(np.asarray(obs_batch, np.float32))[:, :nx]
+        goal = self.get_references(step)
+        goal_j = jnp.asarray(goal.T, jnp.float32)
+        if self._batch_solve is None:
+            solve = self._solve_raw
+            U_EQ = jnp.asarray(self.U_EQ, jnp.float32)
+            ms, mu = self._ms, self._mu
+            n_z, m_rows = self._n_z, self._m_rows
+
+            def solve_one(x0, g, dp):
+                X0 = jnp.tile(x0, (T + 1, 1))
+                U0 = jnp.tile(U_EQ, (T, 1))
+                z0 = jnp.zeros((n_z,), jnp.float32)
+                y0 = jnp.zeros((m_rows,), jnp.float32)
+                ts = jnp.zeros((T + 1, ms), jnp.float32)
+                tu = jnp.zeros((T, mu), jnp.float32)
+                X, U, z, y, res = solve(x0, g, X0, U0, z0, y0, ts, tu, dp)
+                return U[0], res
+
+            self._batch_solve = jax.jit(
+                jax.vmap(solve_one, in_axes=(0, None, None)))
+        x0s = self._place_batched(jnp.asarray(obs_batch))
+        dp = getattr(self, 'dynamics_params', None)
+        u0, res = self._batch_solve(x0s, goal_j, dp)
+        res_np = np.asarray(res)
+        scale = np.maximum(1.0, np.abs(obs_batch).max(axis=1))
+        scale = np.maximum(scale, float(np.max(np.abs(goal))))
+        tol = self.feas_tol * (scale if self.feas_tol_relative
+                               else np.ones_like(scale))
+        feasible = np.isfinite(res_np) & (res_np < tol)
+        return np.asarray(u0), feasible
 
     # ------------------------------------------------------------------
     def select_action(self, obs, info=None):

@@ -430,6 +430,24 @@ class LINEAR_MPSC(MPSC):
         self._solve_batch = None
         self._qp_warm = None
 
+    def shard_over(self, mesh, axis_name: str = 'data'):
+        """Distribute ``certify_action_batch`` over a device mesh: the B
+        independent tube solves are split across chips inside one SPMD
+        program (batch axis sharded, tube/constraint constants replicated;
+        embarrassingly parallel — zero collectives). The multi-chip path
+        for mass certification sweeps; mirrors the RL controllers' and
+        MPC's shard_over."""
+        self._solve_mesh = mesh
+        self._solve_mesh_axis = axis_name
+
+    def _place_batched(self, *arrays):
+        mesh = getattr(self, '_solve_mesh', None)
+        if mesh is None:
+            return arrays
+        from jax.sharding import NamedSharding, PartitionSpec
+        sh = NamedSharding(mesh, PartitionSpec(self._solve_mesh_axis))
+        return tuple(jax.device_put(a, sh) for a in arrays)
+
     def _xeq_for(self, obs):
         """Re-linearization point for one observation (the
         before_optimization rule, shape-polymorphic for batching)."""
@@ -470,8 +488,9 @@ class LINEAR_MPSC(MPSC):
         V0 = jnp.zeros((B, H, nu), jnp.float32)
         zw = jnp.zeros((B, self._n_z), jnp.float32)
         yw = jnp.zeros((B, self._m_rows), jnp.float32)
-        Z, V, z, y, res = self._solve_batch(
+        batch_args = self._place_batched(
             x_inits, jnp.asarray(acts), jnp.asarray(xeqs), Z0, V0, zw, yw)
+        Z, V, z, y, res = self._solve_batch(*batch_args)
         res = np.asarray(res)
         scale = np.maximum(1.0, np.maximum(np.abs(states).max(axis=1),
                                            np.abs(acts).max(axis=1)))
