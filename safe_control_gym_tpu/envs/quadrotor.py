@@ -717,16 +717,31 @@ class Quadrotor(BenchmarkEnv):
         s = np.asarray(self.state)
         pos = np.array([s[0], s[2], s[4]])
         R = np.asarray(rot_xyz(s[6], s[7], s[8]))
+        # CF2X wireframe: X-configuration arms (45 deg off the body axes,
+        # cf2x.urdf geometry) with a rotor disk at each tip, drawn in the
+        # body plane and rotated into the world frame — the true-3D drone
+        # view whose role the PyBullet camera played
+        # (base_aviary.py:333-347).
         arm = 0.12
-        for axis, color in ((np.array([arm, 0, 0]), 'k'),
-                            (np.array([0, arm, 0]), 'b')):
-            a = R @ axis
-            ax.plot([pos[0] - a[0], pos[0] + a[0]],
-                    [pos[1] - a[1], pos[1] + a[1]],
-                    [pos[2] - a[2], pos[2] + a[2]], color=color, lw=3)
+        r_rot = 0.045
+        c45 = np.sqrt(0.5)
+        tips = arm * np.array([[c45, c45, 0], [-c45, c45, 0],
+                               [-c45, -c45, 0], [c45, -c45, 0]])
+        th = np.linspace(0, 2 * np.pi, 17)
+        circle = np.stack([r_rot * np.cos(th), r_rot * np.sin(th),
+                           np.zeros_like(th)], axis=1)
+        for i, tip in enumerate(tips):
+            a = R @ tip
+            ax.plot([pos[0], pos[0] + a[0]], [pos[1], pos[1] + a[1]],
+                    [pos[2], pos[2] + a[2]], color='k', lw=2)
+            ring = (R @ (tip + circle).T).T + pos
+            # Front rotors (body +x side) in red, rear in blue — the
+            # orientation cue the CF2X LEDs give.
+            ax.plot(ring[:, 0], ring[:, 1], ring[:, 2],
+                    color=('r' if tip[0] > 0 else 'b'), lw=1.2)
         up = R @ np.array([0, 0, 0.06])
         ax.plot([pos[0], pos[0] + up[0]], [pos[1], pos[1] + up[1]],
-                [pos[2], pos[2] + up[2]], color='r', lw=2)
+                [pos[2], pos[2] + up[2]], color='g', lw=2)
         if self.TASK == Task.TRAJ_TRACKING and np.ndim(self.X_GOAL) == 2:
             ax.plot(self.X_GOAL[:, 0], self.X_GOAL[:, 2],
                     self.X_GOAL[:, 4], 'g--', lw=0.7)
