@@ -546,15 +546,16 @@ class GPMPC(LinearMPC):
             return super()._dispatch_solve(obs_j, goal_j, X0, U0, z0, y0,
                                            step)
         nx, nu, T = self.model.nx, self.model.nu, self.T
+        # Numpy in, one dispatch (see the latency note in MPC.select_action).
         if self.x_prev is not None and self.u_prev is not None:
-            x_prev_T = jnp.asarray(np.asarray(self.x_prev).T, jnp.float32)
-            u_prev_T = jnp.asarray(
-                np.atleast_2d(self.u_prev).reshape(nu, T).T, jnp.float32)
-            has_prev = jnp.float32(1.0)
+            x_prev_T = np.asarray(np.asarray(self.x_prev).T, np.float32)
+            u_prev_T = np.asarray(
+                np.atleast_2d(self.u_prev).reshape(nu, T).T, np.float32)
+            has_prev = np.float32(1.0)
         else:
-            x_prev_T = jnp.zeros((T + 1, nx), jnp.float32)
-            u_prev_T = jnp.zeros((T, nu), jnp.float32)
-            has_prev = jnp.float32(0.0)
+            x_prev_T = np.zeros((T + 1, nx), np.float32)
+            u_prev_T = np.zeros((T, nu), np.float32)
+            has_prev = np.float32(0.0)
         X, U, z, y, res, n_binds = self._fused_jit(
             obs_j, goal_j, X0, U0, z0, y0, x_prev_T, u_prev_T, has_prev,
             self.dynamics_params, self._tighten_params)

@@ -275,7 +275,7 @@ class MPC(BaseController):
         big = 1e8
 
         def build_and_solve(x_init, goal_states, X, U, z0, y0, tight_s,
-                            tight_u, dp):
+                            tight_u, dp, do_polish=True):
             def fd(x, u):
                 return fd_p(x, u, dp)
             # Jacobians + defects at the current guess.
@@ -324,21 +324,31 @@ class MPC(BaseController):
             # the full budget.
             sol = admm_qp(P_qp_j, q, A_mat, l, u, x0=z0, y0=y0,
                           iters=qp_iters, tol=0.1 * float(self.feas_tol),
-                          polish=True)
+                          polish=do_polish)
             X_new = sol.x[:nX].reshape(T + 1, nx)
             U_new = sol.x[nX:nX + nU].reshape(T, nu)
             return X_new, U_new, sol.x, sol.y, sol.prim_res
 
         def solve(x_init, goal_states, X0, U0, z0, y0, tight_s, tight_u,
                   dp=None):
-            def body(carry, _):
-                X, U, z, y = carry
-                X, U, z, y, res = build_and_solve(x_init, goal_states, X, U,
-                                                  z, y, tight_s, tight_u, dp)
-                return (X, U, z, y), res
-            (X, U, z, y), res = jax.lax.scan(body, (X0, U0, z0, y0), None,
-                                             length=sqp_iters)
-            return X, U, z, y, res[-1]
+            # Polish (3 active-set LU solves, ~30 ms of pure latency on
+            # v5e) only refines the FINAL iterate — intermediate SQP
+            # iterates are re-linearized and re-solved anyway, so polishing
+            # them buys nothing. Earlier iterations run unpolished.
+            X, U, z, y = X0, U0, z0, y0
+            if sqp_iters > 1:
+                def body(carry, _):
+                    X, U, z, y = carry
+                    X, U, z, y, res = build_and_solve(
+                        x_init, goal_states, X, U, z, y, tight_s, tight_u,
+                        dp, do_polish=False)
+                    return (X, U, z, y), res
+                (X, U, z, y), _ = jax.lax.scan(body, (X, U, z, y), None,
+                                               length=sqp_iters - 1)
+            X, U, z, y, res = build_and_solve(x_init, goal_states, X, U,
+                                              z, y, tight_s, tight_u, dp,
+                                              do_polish=True)
+            return X, U, z, y, res
 
         self._n_z = n_z
         self._m_rows = m_rows
@@ -417,43 +427,52 @@ class MPC(BaseController):
         nx, nu, T = self.model.nx, self.model.nu, self.T
         step = self.extract_step(info)
         goal_states = self.get_references(step)  # (nx, T+1)
-        goal_j = jnp.asarray(goal_states.T, jnp.float32)
-        obs_j = jnp.asarray(obs, jnp.float32)
+        # LATENCY NOTE: everything below stays NUMPY until the jitted call —
+        # eager jnp.asarray() conversions each pay a separate host->device
+        # transfer round-trip through the remote-dispatch tunnel, while
+        # numpy arguments passed straight to a jitted function are shipped
+        # with the dispatch itself (measured: 123 -> ~50 ms/step for fused
+        # GP-MPC on v5e). Outputs come back in ONE device_get.
+        goal_j = np.asarray(goal_states.T, np.float32)
+        obs_j = np.asarray(obs, np.float32)
         if self.warmstart and self.x_prev is not None and self.u_prev is not None:
             x_guess = np.roll(self.x_prev, -1, axis=1)
             x_guess[:, -1] = self.x_prev[:, -1]
             u_guess = np.roll(np.atleast_2d(self.u_prev), -1, axis=-1)
-            X0 = jnp.asarray(x_guess.T, jnp.float32)
-            U0 = jnp.asarray(u_guess.reshape(nu, T).T, jnp.float32)
+            X0 = np.asarray(x_guess.T, np.float32)
+            U0 = np.asarray(u_guess.reshape(nu, T).T, np.float32)
             z0, y0 = self._qp_warm
         else:
-            X0 = jnp.tile(obs_j, (T + 1, 1))
-            U0 = jnp.tile(jnp.asarray(self.U_EQ, jnp.float32), (T, 1))
-            z0 = jnp.zeros((self._n_z,), jnp.float32)
-            y0 = jnp.zeros((self._m_rows,), jnp.float32)
+            X0 = np.tile(obs_j, (T + 1, 1))
+            U0 = np.tile(np.asarray(self.U_EQ, np.float32), (T, 1))
+            z0 = np.zeros((self._n_z,), np.float32)
+            y0 = np.zeros((self._m_rows,), np.float32)
         used_warmstart = (self.warmstart and self.x_prev is not None
                           and self.u_prev is not None)
         X, U, z, y, res = self._dispatch_solve(obs_j, goal_j, X0, U0, z0, y0,
                                                step)
+        X_np, U_np, res_v = jax.device_get((X, U, res))
         tol = self.feas_tol
         if self.feas_tol_relative:
-            tol = tol * max(1.0, float(np.max(np.abs(np.asarray(obs)))),
+            tol = tol * max(1.0, float(np.max(np.abs(obs_j))),
                             float(np.max(np.abs(goal_states))))
-        feasible = bool(np.isfinite(float(res)) and float(res) < tol)
+        feasible = bool(np.isfinite(float(res_v)) and float(res_v) < tol)
         if not feasible and used_warmstart:
             # First fallback rung: a poisoned/stale warm start must not be
             # mistaken for true infeasibility — retry cold-started before
             # declaring failure (IPOPT retry semantics, mpc.py:298-316).
-            X0 = jnp.tile(obs_j, (T + 1, 1))
-            U0 = jnp.tile(jnp.asarray(self.U_EQ, jnp.float32), (T, 1))
-            z0 = jnp.zeros((self._n_z,), jnp.float32)
-            y0 = jnp.zeros((self._m_rows,), jnp.float32)
+            X0 = np.tile(obs_j, (T + 1, 1))
+            U0 = np.tile(np.asarray(self.U_EQ, np.float32), (T, 1))
+            z0 = np.zeros((self._n_z,), np.float32)
+            y0 = np.zeros((self._m_rows,), np.float32)
             X, U, z, y, res = self._dispatch_solve(obs_j, goal_j, X0, U0,
                                                    z0, y0, step)
-            feasible = bool(np.isfinite(float(res)) and float(res) < tol)
+            X_np, U_np, res_v = jax.device_get((X, U, res))
+            feasible = bool(np.isfinite(float(res_v))
+                            and float(res_v) < tol)
         if feasible:
-            x_val = np.asarray(X).T       # (nx, T+1) like the reference
-            u_val = np.asarray(U).T.squeeze()  # (nu, T) -> squeeze like opti
+            x_val = X_np.T                # (nx, T+1) like the reference
+            u_val = U_np.T.squeeze()      # (nu, T) -> squeeze like opti
             self._qp_warm = (z, y)
         else:
             # Fallback ladder (mpc.py:298-316).

@@ -532,29 +532,34 @@ class LINEAR_MPSC(MPSC):
                                'load() before certification.')
         nx, nu, H = self.model.nx, self.model.nu, self.horizon
         obs = np.asarray(obs).reshape(nx)
-        x_init = jnp.asarray(obs - self.X_EQ, jnp.float32)
-        u_L = jnp.asarray(np.atleast_1d(uncertified_action), jnp.float32)
+        # LATENCY NOTE: numpy arguments ship WITH the jit dispatch; eager
+        # jnp.asarray() conversions each pay a separate transfer round-trip
+        # through the remote-dispatch tunnel, and every np.asarray() on a
+        # result is a separate download. One upload batch + one device_get.
+        x_init = np.asarray(obs - self.X_EQ, np.float32)
+        u_L = np.asarray(np.atleast_1d(uncertified_action), np.float32)
         if (self.warmstart and self.z_prev is not None
                 and self.v_prev is not None and self._qp_warm is not None):
             z_guess = np.roll(self.z_prev, -1, axis=1)
             z_guess[:, -1] = self.z_prev[:, -1]
             v_guess = np.roll(self.v_prev, -1, axis=1)
-            Z0 = jnp.asarray(z_guess.T, jnp.float32)
-            V0 = jnp.asarray(v_guess.T, jnp.float32)
+            Z0 = np.asarray(z_guess.T, np.float32)
+            V0 = np.asarray(v_guess.T, np.float32)
             z_ws, y_ws = self._qp_warm
         else:
-            Z0 = jnp.tile(x_init, (H + 1, 1))
-            V0 = jnp.zeros((H, nu), jnp.float32)
-            z_ws = jnp.zeros((self._n_z,), jnp.float32)
-            y_ws = jnp.zeros((self._m_rows,), jnp.float32)
+            Z0 = np.tile(x_init, (H + 1, 1))
+            V0 = np.zeros((H, nu), np.float32)
+            z_ws = np.zeros((self._n_z,), np.float32)
+            y_ws = np.zeros((self._m_rows,), np.float32)
         Z, V, z, y, res = self._solve_jit(
-            x_init, u_L, jnp.asarray(self.X_EQ, jnp.float32),
+            x_init, u_L, np.asarray(self.X_EQ, np.float32),
             Z0, V0, z_ws, y_ws)
+        Z_np, V_np, res_v = jax.device_get((Z, V, res))
         tol = self.feas_tol
         if self.feas_tol_relative:
             tol = tol * max(1.0, float(np.max(np.abs(obs))),
-                            float(np.max(np.abs(np.asarray(u_L)))))
-        feasible = bool(np.isfinite(float(res)) and float(res) < tol)
+                            float(np.max(np.abs(u_L))))
+        feasible = bool(np.isfinite(float(res_v)) and float(res_v) < tol)
         if feasible:
             # Invariant check on the TRUE omega constraint (the QP enforces
             # its inner box): a residual-tol violation of the box rows can
@@ -562,23 +567,23 @@ class LINEAR_MPSC(MPSC):
             # up to that and reject anything grosser — a false 'feasible'
             # is a safety false positive (the tube feedback guarantee
             # needs x_init - z0 inside omega).
-            e = np.asarray(x_init) - np.asarray(Z)[0]
+            e = x_init - Z_np[0]
             slack = tol * float(np.sum(np.sqrt(np.clip(np.diag(self.P),
                                                        0, None))))
             feasible = bool(float(e @ self.P @ e) <= (1.0 + slack) ** 2
                             + 1e-6)
         if feasible and getattr(self, '_terminal_quadratic', False):
-            zT = np.asarray(Z)[-1]
+            zT = Z_np[-1]
             feasible = bool(float(zT @ zT)
                             <= self._term_tol + 2.0 * tol + 1e-6)
         if not feasible:
             return None, False
-        self.z_prev = np.asarray(Z).T
-        self.v_prev = np.asarray(V).T.reshape(nu, H)
+        self.z_prev = Z_np.T
+        self.v_prev = V_np.T.reshape(nu, H)
         self._qp_warm = (z, y)
-        next_u = (np.asarray(V)[0] + self.U_EQ
+        next_u = (V_np[0] + self.U_EQ
                   + np.asarray(self.lqr_gain) @ (obs - self.X_EQ
-                                                 - np.asarray(Z)[0]))
+                                                 - Z_np[0]))
         self.next_u_prev = next_u
         self.prev_action = next_u
         return next_u, True
