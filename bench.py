@@ -1,20 +1,23 @@
-"""Headline benchmark: batched cartpole simulation throughput on one chip.
+"""Headline benchmark: batched simulation throughput on one chip, per system.
 
-Mirrors the reference's only published benchmark (README.md:169-193): cartpole,
-no GUI, ctrl 50 Hz / pyb 1000 Hz, random actions — where the reference reaches
-24.73x realtime, i.e. ~1236.5 control steps/s (with 20 physics substeps each),
-single env, on an i7 CPU.
+Mirrors the reference's only published benchmark (README.md:169-193):
+no GUI, ctrl 50 Hz / pyb 1000 Hz, random actions — where the reference
+reaches 24.73x realtime on cartpole (~1236.5 ctrl steps/s) and 9.28x on
+the quadrotor (~464 ctrl steps/s), single env, on an i7 CPU.
 
-Here the same workload runs as one jitted scan over 4096 vmapped envs: the
-entire (action pipeline -> 20 substeps -> reward/done/constraints -> auto-
-reset) control step is a single fused XLA program; the only host interaction
-is the final device_get.
+Each workload runs as one jitted scan over 4096 vmapped envs: the entire
+(action pipeline -> 20 substeps -> reward/done/constraints -> auto-reset)
+control step is a single fused XLA program; the only host interaction is
+the final device_get. Long scans amortize the remote-dispatch tunnel
+(8192 steps for the cartpole headline; 4096 for the quadrotors to keep
+the full suite ~5 min).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line PER SYSTEM — cartpole (the headline metric) first,
+then quadrotor 2D and 3D:
+{"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
-import time
 
 import jax
 
@@ -27,69 +30,36 @@ try:
 except Exception:
     pass  # fall back to the default PRNG if unsupported
 
-import jax.numpy as jnp
-import numpy as np
-
 N_ENVS = 4096
-N_STEPS = 8192         # control steps per timed run (long program amortizes dispatch jitter)
 CTRL_FREQ = 50
-PYB_FREQ = 1000
-REFERENCE_CTRL_STEPS_PER_SEC = 24.73 * CTRL_FREQ  # README.md:182
 
-
-def build():
-    from safe_control_gym_tpu.utils.registration import make
-    env = make('cartpole', seed=0, ctrl_freq=CTRL_FREQ, pyb_freq=PYB_FREQ,
-               episode_len_sec=5)
-    func = env.func
-
-    def reset_all(key):
-        return func.reset_batch(key, N_ENVS)
-
-    def rollout(states, key):
-        """N_STEPS control steps with uniform random actions + auto-reset
-        (the library's fused step_autoreset: done envs get a fresh
-        randomized init state in the same program)."""
-        def body(carry, _):
-            states, key = carry
-            key, k_act, k_reset = jax.random.split(key, 3)
-            actions = jax.random.uniform(k_act, (N_ENVS, 1),
-                                         minval=-10.0, maxval=10.0)
-            states, out, _obs = func.step_autoreset(states, actions, k_reset)
-            return (states, key), out.reward.sum()
-
-        (states, _), rewards = jax.lax.scan(body, (states, key), None,
-                                            length=N_STEPS)
-        return states, rewards.sum()
-
-    reset_jit = jax.jit(reset_all, static_argnums=())
-    rollout_jit = jax.jit(rollout, donate_argnums=(0,))
-    return reset_jit, rollout_jit
+# (system id, timed scan length, timed reps, reference speed-up row)
+# cartpole: README.md:182; quadrotor: README.md:188 (the reference's only
+# quadrotor row — 2D; reused as the 3D baseline for lack of a published
+# 3D number).
+SYSTEMS = [
+    ('cartpole', 8192, 5, 24.73),
+    ('quadrotor_2D', 4096, 3, 9.28),
+    ('quadrotor_3D', 4096, 3, 9.28),
+]
 
 
 def main():
-    reset_jit, rollout_jit = build()
-    states, _ = reset_jit(jax.random.PRNGKey(0))
-    key = jax.random.PRNGKey(1)
-    # Warmup / compile.
-    states, r = rollout_jit(states, key)
-    jax.block_until_ready(r)
-    # Timed runs.
-    best = 0.0
-    for i in range(5):
-        states, _ = reset_jit(jax.random.PRNGKey(2 + i))
-        t0 = time.perf_counter()
-        states, r = rollout_jit(states, jax.random.PRNGKey(10 + i))
-        jax.block_until_ready(r)
-        dt = time.perf_counter() - t0
-        steps_per_sec = N_ENVS * N_STEPS / dt
-        best = max(best, steps_per_sec)
-    print(json.dumps({
-        'metric': f'cartpole env steps/sec/chip ({N_ENVS} envs, ctrl 50Hz / pyb 1000Hz, random actions)',
-        'value': round(best, 1),
-        'unit': 'ctrl steps/s',
-        'vs_baseline': round(best / REFERENCE_CTRL_STEPS_PER_SEC, 1),
-    }))
+    from safe_control_gym_tpu.experiments.benchmark_suite import \
+        measure_batched
+    for system, n_steps, n_reps, ref_speedup in SYSTEMS:
+        suite_id = 'quadrotor' if system == 'quadrotor_2D' else system
+        _, steps_per_sec = measure_batched(
+            suite_id, constrained=False, batch=N_ENVS, n_steps=n_steps,
+            n_reps=n_reps)
+        ref_sps = ref_speedup * CTRL_FREQ
+        print(json.dumps({
+            'metric': (f'{system} env steps/sec/chip ({N_ENVS} envs, '
+                       'ctrl 50Hz / pyb 1000Hz, random actions)'),
+            'value': round(steps_per_sec, 1),
+            'unit': 'ctrl steps/s',
+            'vs_baseline': round(steps_per_sec / ref_sps, 1),
+        }), flush=True)
 
 
 if __name__ == '__main__':

@@ -92,7 +92,8 @@ def measure_single_env(system, constrained, n_steps=2000):
     return sim_time / wall, steps / wall
 
 
-def measure_batched(system, constrained, batch=4096, n_steps=4096):
+def measure_batched(system, constrained, batch=4096, n_steps=4096,
+                    n_reps=3):
     """Batched fused rollout — the TPU-native operating point."""
     env = make(system.replace('_3D', ''), **_env_kwargs(system, constrained))
     func = env.func
@@ -123,7 +124,7 @@ def measure_batched(system, constrained, batch=4096, n_steps=4096):
     states, r = rollout_jit(states, jax.random.PRNGKey(1))
     jax.block_until_ready(r)
     best = float('inf')
-    for i in range(3):
+    for i in range(n_reps):
         states, _ = reset_batch_jit(jax.random.PRNGKey(2 + i))
         t0 = time.perf_counter()
         states, r = rollout_jit(states, jax.random.PRNGKey(10 + i))
