@@ -118,10 +118,44 @@ def _compile_rand_sampler(rand_info: Dict[str, Dict], names) -> Callable:
         kwargs = dict(info)
         entries.append((name, distrib, args, kwargs))
 
+    # Hot-loop fast path: when every entry is a scalar-bounded uniform (the
+    # common init-state spec) and all base shapes agree, ALL entries come
+    # from ONE (E, ...) uniform draw + one affine map — the general path
+    # costs a key split plus one RNG kernel launch PER entry, which is the
+    # dominant cost of batched auto-reset inside the fused rollout scan
+    # (measured on v5e: part of a 4.5 us/step reset overhead on a 13 us
+    # step).
+    uniform_bounds = []
+    for (_name, distrib, args, kwargs) in entries:
+        if distrib != 'uniform':
+            uniform_bounds = None
+            break
+        low = kwargs.get('low', args[0] if args else 0.0)
+        high = kwargs.get('high', args[1] if len(args) > 1 else 1.0)
+        if np.ndim(low) != 0 or np.ndim(high) != 0:
+            uniform_bounds = None
+            break
+        uniform_bounds.append((float(low), float(high)))
+
     def sample(key, base):
         out = dict(base)
         if not entries:
             return out
+        if uniform_bounds is not None:
+            shapes = {jnp.shape(jnp.asarray(base[name]))
+                      for name, *_ in entries}
+            if len(shapes) == 1:
+                shape = next(iter(shapes))
+                e = len(entries)
+                lo = jnp.asarray([b[0] for b in uniform_bounds],
+                                 jnp.float32).reshape((e,) + (1,) * len(shape))
+                hi = jnp.asarray([b[1] for b in uniform_bounds],
+                                 jnp.float32).reshape((e,) + (1,) * len(shape))
+                u = jax.random.uniform(key, (e,) + shape)
+                draws = lo + u * (hi - lo)
+                for i, (name, *_rest) in enumerate(entries):
+                    out[name] = jnp.asarray(base[name]) + draws[i]
+                return out
         keys = jax.random.split(key, len(entries))
         for (name, distrib, args, kwargs), k in zip(entries, keys):
             shape = jnp.shape(jnp.asarray(base[name]))
