@@ -154,17 +154,20 @@ class CBF(BaseSafetyFilter):
                            ) -> Tuple[np.ndarray, bool]:
         """One certification QP (cbf.py:164-215)."""
         nn_a, nn_b = self._nn_terms(current_state)
+        # Numpy in (ships with the dispatch), ONE device_get out — eager
+        # per-array conversions each pay a tunnel round-trip (see
+        # MPC.select_action latency note).
         u, slack, res = self._solve_jit(
-            jnp.asarray(current_state, jnp.float32),
-            jnp.asarray(np.atleast_1d(uncertified_action), jnp.float32),
+            np.asarray(current_state, np.float32),
+            np.asarray(np.atleast_1d(uncertified_action), np.float32),
             nn_a, nn_b)
-        feasible = bool(np.isfinite(float(res))
-                        and float(res) < self.feas_tol)
-        certified_action = np.asarray(u)
+        certified_action, slack_v, res_v = jax.device_get((u, slack, res))
+        feasible = bool(np.isfinite(float(res_v))
+                        and float(res_v) < self.feas_tol)
         if self.soft_constrained and feasible:
-            if float(slack) > self.slack_tolerance:
+            if float(slack_v) > self.slack_tolerance:
                 feasible = False
-        return certified_action, feasible
+        return np.asarray(certified_action), feasible
 
     def _nn_terms(self, state):
         """Learned Lie-derivative residual terms (zero for plain CBF)."""

@@ -349,7 +349,8 @@ class LINEAR_MPSC(MPSC):
         m_rows = H * nx + (H * m_s) + (H * m_u) + m_t + nx
         big = 1e8
 
-        def build_and_solve(x_init, u_L, xeq, Z, V, z_ws, y_ws):
+        def build_and_solve(x_init, u_L, xeq, Z, V, z_ws, y_ws,
+                            do_polish=True):
             A_k = jax.vmap(jax.jacfwd(fd, argnums=0))(Z[:-1], V)
             B_k = jax.vmap(jax.jacfwd(fd, argnums=1))(Z[:-1], V)
             f_k = jax.vmap(fd)(Z[:-1], V)
@@ -408,20 +409,28 @@ class LINEAR_MPSC(MPSC):
             # Budgeted with early exit at 0.1*feas_tol (see ops/qp.py).
             sol = admm_qp(P_qp_j, q, A_mat, l, u, x0=z_ws, y0=y_ws,
                           iters=qp_iters, tol=0.1 * float(self.feas_tol),
-                          polish=True)
+                          polish=do_polish)
             Z_new = sol.x[:nZ].reshape(H + 1, nx)
             V_new = sol.x[nZ:nZ + nV].reshape(H, nu)
             return Z_new, V_new, sol.x, sol.y, sol.prim_res
 
         def solve(x_init, u_L, xeq, Z0, V0, z0, y0):
-            def body(carry, _):
-                Z, V, z, y = carry
-                Z, V, z, y, res = build_and_solve(x_init, u_L, xeq,
-                                                  Z, V, z, y)
-                return (Z, V, z, y), res
-            (Z, V, z, y), res = jax.lax.scan(body, (Z0, V0, z0, y0), None,
-                                             length=sqp_iters)
-            return Z, V, z, y, res[-1]
+            # Polish (3 active-set LU solves, pure latency at these sizes)
+            # only on the FINAL iterate — earlier iterations just continue
+            # the warm-started ADMM and their polish is discarded.
+            Z, V, z, y = Z0, V0, z0, y0
+            if sqp_iters > 1:
+                def body(carry, _):
+                    Z, V, z, y = carry
+                    Z, V, z, y, res = build_and_solve(x_init, u_L, xeq,
+                                                      Z, V, z, y,
+                                                      do_polish=False)
+                    return (Z, V, z, y), res
+                (Z, V, z, y), _ = jax.lax.scan(body, (Z, V, z, y), None,
+                                               length=sqp_iters - 1)
+            Z, V, z, y, res = build_and_solve(x_init, u_L, xeq, Z, V, z, y,
+                                              do_polish=True)
+            return Z, V, z, y, res
 
         self._n_z = n_z
         self._m_rows = m_rows
