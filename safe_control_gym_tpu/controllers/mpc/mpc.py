@@ -451,7 +451,13 @@ class MPC(BaseController):
                           and self.u_prev is not None)
         X, U, z, y, res = self._dispatch_solve(obs_j, goal_j, X0, U0, z0, y0,
                                                step)
-        X_np, U_np, res_v = jax.device_get((X, U, res))
+        # z/y ride the same fetch so next step's warm start is numpy like
+        # every other argument — mixing committed device arrays with numpy
+        # args makes pjit cache a second (identical) executable.
+        fetched = jax.device_get(
+            (X, U, res, z, y) + tuple(getattr(self, '_dispatch_aux', ())))
+        X_np, U_np, res_v, z, y = fetched[:5]
+        self._dispatch_aux_host = tuple(fetched[5:])
         tol = self.feas_tol
         if self.feas_tol_relative:
             tol = tol * max(1.0, float(np.max(np.abs(obs_j))),
@@ -467,7 +473,11 @@ class MPC(BaseController):
             y0 = np.zeros((self._m_rows,), np.float32)
             X, U, z, y, res = self._dispatch_solve(obs_j, goal_j, X0, U0,
                                                    z0, y0, step)
-            X_np, U_np, res_v = jax.device_get((X, U, res))
+            fetched = jax.device_get(
+                (X, U, res, z, y)
+                + tuple(getattr(self, '_dispatch_aux', ())))
+            X_np, U_np, res_v, z, y = fetched[:5]
+            self._dispatch_aux_host = tuple(fetched[5:])
             feasible = bool(np.isfinite(float(res_v))
                             and float(res_v) < tol)
         if feasible:
@@ -502,7 +512,14 @@ class MPC(BaseController):
     def _dispatch_solve(self, obs_j, goal_j, X0, U0, z0, y0, step):
         """One device dispatch for the receding-horizon solve. Subclasses
         that derive per-step tightening from device state (GP-MPC) override
-        this so tightening + SQP fuse into a single jitted program."""
+        this so tightening + SQP fuse into a single jitted program.
+
+        Subclasses may set ``self._dispatch_aux`` to a tuple of extra
+        device values; select_action fetches them in the SAME device_get
+        as (X, U, res) — a separate scalar fetch costs a full tunnel
+        round-trip (~29 ms measured) — and exposes the host values as
+        ``self._dispatch_aux_host``."""
+        self._dispatch_aux = ()
         tight_s, tight_u = self._constraint_tightening(step)
         dp = getattr(self, 'dynamics_params', None)
         return self._solve_jit(obs_j, goal_j, X0, U0, z0, y0,

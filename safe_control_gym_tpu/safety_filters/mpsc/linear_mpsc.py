@@ -563,7 +563,10 @@ class LINEAR_MPSC(MPSC):
         Z, V, z, y, res = self._solve_jit(
             x_init, u_L, np.asarray(self.X_EQ, np.float32),
             Z0, V0, z_ws, y_ws)
-        Z_np, V_np, res_v = jax.device_get((Z, V, res))
+        # z/y ride the same fetch so the next warm start is numpy like the
+        # other args (mixed committed/uncommitted args would cache a second
+        # identical executable).
+        Z_np, V_np, res_v, z, y = jax.device_get((Z, V, res, z, y))
         tol = self.feas_tol
         if self.feas_tol_relative:
             tol = tol * max(1.0, float(np.max(np.abs(obs))),
