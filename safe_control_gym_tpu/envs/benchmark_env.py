@@ -329,6 +329,7 @@ class BenchmarkEnv(gym.Env):
     # ------------------------------------------------------------------
     def seed(self, seed=None):
         seed = int(seed) if seed is not None else np.random.SeedSequence().entropy % (2 ** 31)
+        self._seed_value = seed          # resolved seed (also seeds spaces)
         self.np_random = np.random.default_rng(seed)
         self._key = jax.random.PRNGKey(seed)
         if hasattr(self, 'action_space') and self.action_space is not None:
@@ -456,6 +457,15 @@ class BenchmarkEnv(gym.Env):
 
     def _build_functional(self):
         """Compile reset_fn/step_fn closures over the static config."""
+        # Subclasses call this after their spaces exist, but __init__'s
+        # seed() ran BEFORE action_space was created — seed it now so
+        # action_space.sample() is deterministic per (env, seed) instead of
+        # drawing from process-global entropy (the reference seeds env AND
+        # action_space, benchmark_env.py:193-214; an unseeded space made
+        # GP-MPC's sampled training data depend on process history).
+        if getattr(self, 'action_space', None) is not None \
+                and self._seed_value is not None:
+            self.action_space.seed(int(self._seed_value))
         state_dim = self.state_dim
         act_dim = self.action_dim
         CTRL_STEPS = self.CTRL_STEPS

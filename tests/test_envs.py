@@ -186,3 +186,21 @@ def test_adversary_disturbance_changes_outcome():
     env.set_adversary_control(np.array([1.0, 1.0]))
     o_adv, *_ = env.step(np.zeros(1))
     assert not np.allclose(o_clean, o_adv)
+
+
+def test_action_space_seeded_deterministically():
+    """Same env seed => same action_space.sample() stream; different seed
+    => different stream (reference seeds env AND spaces,
+    benchmark_env.py:193-214). Regression: spaces are created by the
+    subclass AFTER __init__'s seed() ran, so _build_functional must seed
+    them — an unseeded space made GP-MPC/MPSC training data depend on
+    process-global entropy."""
+    draws = lambda e: np.stack([e.action_space.sample() for _ in range(6)])
+    a = draws(make('cartpole', seed=7))
+    b = draws(make('cartpole', seed=7))
+    c = draws(make('cartpole', seed=8))
+    q1 = draws(make('quadrotor', quad_type=2, seed=7))
+    q2 = draws(make('quadrotor', quad_type=2, seed=7))
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+    np.testing.assert_array_equal(q1, q2)

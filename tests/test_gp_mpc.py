@@ -30,7 +30,7 @@ def test_gp_mpc_corrects_wrong_prior(sparse):
                 prior_info={'prior_prop': {'pole_length': 1.0}},
                 train_iterations=1, num_samples=60,
                 optimization_iterations=120, sparse_gp=sparse,
-                n_ind_points=25, seed=0)
+                n_ind_points=40, seed=0)
     ctrl.reset()
 
     env = env_func()
