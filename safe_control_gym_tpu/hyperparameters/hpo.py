@@ -6,8 +6,9 @@ objective = CVaR over repeated train+eval runs (hpo.py:117-158: each trial
 trains the controller from scratch ``n_repetitions`` times, evaluates with
 BaseExperiment over ``n_episodes``, and scores the CVaR of the returns so
 flaky configs rank low). Results: trials.csv, best-hyperparameter YAML
-(hpo.py:211-264). MySQL/dashboard storage is replaced by JSON persistence
-(study.py); Optuna is used when available, else the native TPE.
+(hpo.py:211-264). The MySQL server is replaced by an embedded SQLite study
+database (hyperparameters/database.py, with a locked-JSON fallback);
+Optuna is used when available, else the native TPE.
 
 Because training runs fully on-device, a complete PPO trial takes seconds —
 the HPO loop that needed a MySQL-coordinated cluster in the reference runs
@@ -99,7 +100,11 @@ class HPO:
                        else self.directions[0]),
             sampler=sampler,
             seed=int(self.hpo_config.get('seed', 0)),
-            storage_path=os.path.join(output_dir, 'study.json'),
+            # Default storage is the embedded SQLite study database
+            # (hyperparameters/database.py, the reference's MySQL role);
+            # set storage: <path>.json for the locked-JSON backend.
+            storage_path=self.hpo_config.get(
+                'storage', os.path.join(output_dir, 'study.db')),
             pruner=pruner)
 
     # ------------------------------------------------------------------

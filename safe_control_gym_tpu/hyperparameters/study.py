@@ -6,7 +6,9 @@ dependency of the TPU image, so this module implements the needed subset
 natively — a ``Trial``/``Study`` API with a Random sampler and a real
 Tree-structured-Parzen-Estimator sampler (good/bad split + Parzen densities,
 Bergstra 2011) — and uses Optuna transparently instead when it is importable.
-Study state persists to JSON (the MySQL storage role).
+Study state persists to an embedded SQLite database when ``storage_path``
+ends in ``.db``/``.sqlite`` (hyperparameters/database.py — the reference's
+MySQL storage role), else to fcntl-locked JSON.
 """
 
 from __future__ import annotations
@@ -204,7 +206,16 @@ class Study:
         self.pruner = pruner
         self.storage_path = storage_path
         self.trials: List[Dict] = []
-        if storage_path and os.path.exists(storage_path):
+        # Storage engine: a *.db / *.sqlite path selects the embedded
+        # SQLite database (hyperparameters/database.py — the reference's
+        # MySQL-server role); anything else uses fcntl-locked JSON.
+        self._store = None
+        if storage_path and storage_path.endswith(('.db', '.sqlite')):
+            from safe_control_gym_tpu.hyperparameters.database import \
+                SqliteTrialStore
+            self._store = SqliteTrialStore(storage_path)
+            self.trials = self._store.load()
+        elif storage_path and os.path.exists(storage_path):
             with open(storage_path) as f:
                 self.trials = json.load(f)
 
@@ -313,6 +324,9 @@ class Study:
 
     def refresh(self):
         """Merge trials other workers persisted since our last sync."""
+        if self._store is not None:
+            self._merge(self._store.load())
+            return
         if not self.storage_path:
             return
         lf = self._locked(fcntl.LOCK_SH)
@@ -322,6 +336,11 @@ class Study:
             lf.close()
 
     def _persist(self):
+        if self._store is not None:
+            # Atomic upsert-by-uid + read-back: SQLite's own transaction
+            # replaces the JSON lock/merge/replace dance.
+            self.trials = self._store.merge_write(self.trials)
+            return
         if not self.storage_path:
             return
         lf = self._locked(fcntl.LOCK_EX)

@@ -34,7 +34,7 @@ def test_hpo_runs_and_persists(SAMPLER, tmp_path):
     study = hpo.hyperparameter_optimization()
     assert len(study.trials) == 2
     assert os.path.exists(str(tmp_path / 'trials.csv'))
-    assert os.path.exists(str(tmp_path / 'study.json'))
+    assert os.path.exists(str(tmp_path / 'study.db'))
     assert os.path.exists(str(tmp_path / 'hyperparameters_0.yaml'))
 
 
