@@ -210,16 +210,25 @@ class PPO(BaseController):
             self._env_states, self._obs = jax.vmap(self.func_env.reset)(keys)
         self.setup_results_dict()
 
-    def shard_over(self, mesh, axis_name: str = 'env'):
+    def shard_over(self, mesh, axis_name: str = 'env',
+                   model_axis: str = None):
         """Distribute training over a ``jax.sharding.Mesh``: env states and
         rollout batch sharded along ``axis_name`` (data parallel), agent and
         optimizer state replicated. Every subsequent ``learn()`` program —
         including the ``fused_iterations`` multi-iteration scan — runs SPMD
         over the mesh; the batch-mean gradients inside the update become
         cross-chip psum collectives inserted by XLA from the shardings.
-        The TPU replacement for the reference's SubprocVecEnv workers."""
+        The TPU replacement for the reference's SubprocVecEnv workers.
+
+        With ``model_axis`` set (2-D dp x tp mesh from
+        ``parallel.sharding.make_dp_tp_mesh``), actor/critic parameters and
+        their Adam moments are additionally megatron-partitioned over the
+        model axis (``mlp_tp_shardings``): hidden weight matrices split
+        column-/row-wise across chips, activations psum-reduced between
+        them by XLA. Gradients then reduce over BOTH axes — batch means
+        across 'env', feature partials across 'model'."""
         from jax.sharding import NamedSharding, PartitionSpec as P
-        assert self.N % mesh.devices.size == 0, \
+        assert self.N % mesh.shape[axis_name] == 0, \
             'rollout_batch_size must divide evenly over the mesh'
         if self._env_states is None:
             self.reset()
@@ -229,15 +238,33 @@ class PPO(BaseController):
             self._env_states,
             jax.tree.map(lambda _: batch_sh, self._env_states))
         self._obs = jax.device_put(self._obs, batch_sh)
-        self.agent.params = jax.device_put(
-            self.agent.params,
-            jax.tree.map(lambda _: repl, self.agent.params))
-        self.agent.actor_opt_state = jax.device_put(
-            self.agent.actor_opt_state,
-            jax.tree.map(lambda _: repl, self.agent.actor_opt_state))
-        self.agent.critic_opt_state = jax.device_put(
-            self.agent.critic_opt_state,
-            jax.tree.map(lambda _: repl, self.agent.critic_opt_state))
+        if model_axis is not None and mesh.shape[model_axis] > 1:
+            from safe_control_gym_tpu.parallel.sharding import (
+                actor_critic_tp_shardings)
+            import optax
+            param_sh = actor_critic_tp_shardings(mesh, self.agent.params,
+                                                 model_axis)
+            self.agent.params = jax.device_put(self.agent.params, param_sh)
+            actor_sh = {k: param_sh[k] for k in ('actor', 'logstd')
+                        if k in param_sh}
+            place = lambda s, sh: jax.device_put(s, sh)
+            place_repl = lambda s: jax.device_put(s, repl)
+            self.agent.actor_opt_state = optax.tree_map_params(
+                self.agent.actor_opt, place, self.agent.actor_opt_state,
+                actor_sh, transform_non_params=place_repl)
+            self.agent.critic_opt_state = optax.tree_map_params(
+                self.agent.critic_opt, place, self.agent.critic_opt_state,
+                param_sh['critic'], transform_non_params=place_repl)
+        else:
+            self.agent.params = jax.device_put(
+                self.agent.params,
+                jax.tree.map(lambda _: repl, self.agent.params))
+            self.agent.actor_opt_state = jax.device_put(
+                self.agent.actor_opt_state,
+                jax.tree.map(lambda _: repl, self.agent.actor_opt_state))
+            self.agent.critic_opt_state = jax.device_put(
+                self.agent.critic_opt_state,
+                jax.tree.map(lambda _: repl, self.agent.critic_opt_state))
         self._mesh = mesh
 
     def close(self):

@@ -27,7 +27,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ['make_env_mesh', 'shard_env_batch', 'make_sharded_env_step',
-           'replicate', 'make_dp_train_step']
+           'replicate', 'make_dp_train_step', 'make_dp_tp_mesh',
+           'mlp_tp_shardings', 'actor_critic_tp_shardings']
 
 
 def make_env_mesh(n_devices: Optional[int] = None,
@@ -78,6 +79,74 @@ def make_sharded_env_step(mesh: Mesh, func_env, axis_name: str = 'env'):
         return step_jit(states, jax.device_put(actions, batch_sh))
 
     return reset_fn, step_fn
+
+
+def make_dp_tp_mesh(n_model: int = 2, n_devices: Optional[int] = None,
+                    env_axis: str = 'env', model_axis: str = 'model') -> Mesh:
+    """2-D mesh factoring the chips into data ('env') x tensor ('model')
+    axes — the standard dp x tp grid of the scaling playbook. Lay the model
+    axis innermost so its collectives ride the fastest ICI links."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    assert n % n_model == 0, (n, n_model)
+    grid = np.array(devices).reshape(n // n_model, n_model)
+    return Mesh(grid, axis_names=(env_axis, model_axis))
+
+
+def mlp_tp_shardings(mesh: Mesh, params, model_axis: str = 'model'):
+    """Megatron-style tensor-parallel shardings for an ``mlp_init`` param
+    list (math/networks.py): alternate column- and row-partitioned weight
+    matrices over ``model_axis``, so an activation leaves a column-sharded
+    layer 'model'-sharded on features, flows through the elementwise
+    nonlinearity chip-local, and is reduced back (one psum, inserted by
+    XLA from the shardings) in the following row-sharded layer. Biases of
+    column-sharded layers are sharded with their features; biases of
+    row-sharded layers are replicated (added after the reduction). The
+    final (output) layer joins the alternation so hidden layers stay
+    distributed end to end.
+
+    Returns a pytree of ``NamedSharding`` with the exact structure of
+    ``params`` — usable for ``jax.device_put`` on the params and, via
+    ``optax.tree_map_params``, on optimizer states.
+    """
+    col = NamedSharding(mesh, P(None, model_axis))
+    row = NamedSharding(mesh, P(model_axis, None))
+    repl = NamedSharding(mesh, P())
+    vec = NamedSharding(mesh, P(model_axis))
+    n_shards = mesh.shape[model_axis]
+    out = []
+    feat_sharded = False  # whether this layer's INPUT activations are sharded
+    for layer in params:
+        in_dim, out_dim = layer['w'].shape
+        if feat_sharded:
+            # Row-parallel: consumes sharded features, psum-reduces output.
+            out.append({'w': row, 'b': repl})
+            feat_sharded = False
+        elif out_dim % n_shards == 0 and out_dim >= n_shards:
+            # Column-parallel: produces sharded features.
+            out.append({'w': col, 'b': vec})
+            feat_sharded = True
+        else:
+            # Output too small/indivisible to split (e.g. nu=1 heads).
+            out.append({'w': repl, 'b': repl})
+    return out
+
+
+def actor_critic_tp_shardings(mesh: Mesh, params, model_axis: str = 'model'):
+    """Tensor-parallel shardings for the PPO/SafePPO/RARL actor-critic
+    param dict ``{'actor': [...], 'critic': [...], ('logstd')}`` — each MLP
+    megatron-partitioned, scalars/vectors without a feature axis
+    replicated."""
+    repl = NamedSharding(mesh, P())
+    out = {}
+    for k, v in params.items():
+        if isinstance(v, (list, tuple)):
+            out[k] = type(v)(mlp_tp_shardings(mesh, v, model_axis))
+        else:
+            out[k] = repl
+    return out
 
 
 def make_dp_train_step(mesh: Mesh, update_fn: Callable,

@@ -82,3 +82,53 @@ def test_sac_sharded_fused_training(tmp_path):
     assert np.isfinite(r_after)
     assert r_after > r_before, (r_before, r_after)
     ctrl.close()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 devices')
+def test_ppo_tensor_parallel_training_matches_single_device(tmp_path):
+    """dp x tp: actor/critic weights megatron-partitioned over the 'model'
+    mesh axis (parallel/sharding.py mlp_tp_shardings) while the env batch
+    shards over 'env'. The distributed run must (a) really place hidden
+    weights across model shards, (b) keep env-axis replicas consistent,
+    and (c) reproduce the single-device training result — XLA's inserted
+    psum collectives are exact up to f32 reduction order."""
+    from safe_control_gym_tpu.parallel.sharding import make_dp_tp_mesh
+
+    cfg = get_config('ppo')
+    cfg.update(rollout_batch_size=16, rollout_steps=32, opt_epochs=2,
+               mini_batch_size=128, fused_iterations=2,
+               max_env_steps=16 * 32 * 4, actor_lr=3e-4, critic_lr=1e-3)
+
+    def build(out):
+        env_func = partial(make, 'cartpole', seed=5, **CFG)
+        ctrl = make('ppo', env_func, training=True, seed=2,
+                    output_dir=str(out), **cfg)
+        ctrl.reset()
+        return ctrl
+
+    ref = build(tmp_path / 'single')
+    ref.learn()
+    p_ref = jax.tree.map(np.asarray, ref.agent.params)
+    ref.close()
+
+    ctrl = build(tmp_path / 'tp')
+    mesh = make_dp_tp_mesh(n_model=2, n_devices=8)
+    ctrl.shard_over(mesh, model_axis='model')
+    w0 = ctrl.agent.params['actor'][0]['w']
+    assert not w0.sharding.is_fully_replicated          # (a) tp is real
+    assert len(w0.sharding.device_set) == 8
+    ctrl.learn()
+    # (b) env-axis replicas of each model shard identical.
+    by_model = {}
+    for s in ctrl.agent.params['actor'][0]['w'].addressable_shards:
+        by_model.setdefault(str(s.index), []).append(np.asarray(s.data))
+    assert len(by_model) == 2                           # two model shards
+    for reps in by_model.values():
+        assert len(reps) == 4                           # four env replicas
+        for r in reps[1:]:
+            assert np.array_equal(r, reps[0])
+    # (c) numerically the same training trajectory as one device.
+    p_tp = jax.tree.map(np.asarray, ctrl.agent.params)
+    for l_ref, l_tp in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_tp)):
+        np.testing.assert_allclose(l_tp, l_ref, rtol=0, atol=5e-5)
+    ctrl.close()
