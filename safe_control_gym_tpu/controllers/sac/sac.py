@@ -165,15 +165,21 @@ class SAC(BaseController):
         self._env_states, self._obs = jax.vmap(self.func_env.reset)(keys)
         self.setup_results_dict()
 
-    def shard_over(self, mesh, axis_name: str = 'env'):
+    def shard_over(self, mesh, axis_name: str = 'env',
+                   model_axis: str = None):
         """Distribute training over a ``jax.sharding.Mesh``: env states/obs
         sharded on the env axis, actor/critic/optimizer state replicated.
         The replay buffer keeps its (capacity, N, dim) layout with the env
         axis sharded, so pushes stay chip-local; batch sampling gathers
         across the mesh via XLA collectives. Composes with
-        ``fused_iterations`` (the whole collect+train scan runs SPMD)."""
+        ``fused_iterations`` (the whole collect+train scan runs SPMD).
+
+        With ``model_axis`` set (dp x tp mesh from ``make_dp_tp_mesh``),
+        actor/twin-Q/target weights and their Adam moments are
+        megatron-partitioned over the model axis, same scheme as PPO's
+        (``parallel.sharding.mlp_tp_shardings``)."""
         from jax.sharding import NamedSharding, PartitionSpec as P
-        assert self.N % mesh.devices.size == 0, \
+        assert self.N % mesh.shape[axis_name] == 0, \
             'rollout_batch_size must divide evenly over the mesh'
         if self._env_states is None:
             self.reset()
@@ -183,9 +189,32 @@ class SAC(BaseController):
             self._env_states,
             jax.tree.map(lambda _: batch_sh, self._env_states))
         self._obs = jax.device_put(self._obs, batch_sh)
-        ts = self.agent.train_state()
-        ts = jax.device_put(ts, jax.tree.map(lambda _: repl, ts))
-        self.agent.set_train_state(ts)
+        if model_axis is not None and mesh.shape[model_axis] > 1:
+            import optax
+            from safe_control_gym_tpu.parallel.sharding import (
+                actor_critic_tp_shardings)
+            ag = self.agent
+            param_sh = actor_critic_tp_shardings(mesh, ag.params, model_axis)
+            ag.params = jax.device_put(ag.params, param_sh)
+            ag.target = jax.device_put(
+                ag.target, {k: param_sh[k] for k in ag.target})
+            ag.log_alpha = jax.device_put(ag.log_alpha, repl)
+            place = lambda s, sh: jax.device_put(s, sh)
+            place_repl = lambda s: jax.device_put(s, repl)
+            ag.actor_opt_state = optax.tree_map_params(
+                ag.actor_opt, place, ag.actor_opt_state, param_sh['actor'],
+                transform_non_params=place_repl)
+            ag.critic_opt_state = optax.tree_map_params(
+                ag.critic_opt, place, ag.critic_opt_state,
+                {'q1': param_sh['q1'], 'q2': param_sh['q2']},
+                transform_non_params=place_repl)
+            ag.alpha_opt_state = jax.device_put(
+                ag.alpha_opt_state,
+                jax.tree.map(lambda _: repl, ag.alpha_opt_state))
+        else:
+            ts = self.agent.train_state()
+            ts = jax.device_put(ts, jax.tree.map(lambda _: repl, ts))
+            self.agent.set_train_state(ts)
         self._mesh = mesh
 
     def close(self):

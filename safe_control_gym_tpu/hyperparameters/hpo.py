@@ -125,15 +125,23 @@ class HPO:
         if hasattr(ctrl, 'reset'):
             ctrl.reset()
         ctrl.learn()
-        if hasattr(ctrl, 'run'):
-            res = ctrl.run(n_episodes=self.n_episodes)
+        # RL controllers expose the fast batched self-eval run(n_episodes);
+        # MPC-family run() is the reference's single-episode signature
+        # (run(env, ...)) — evaluate those through BaseExperiment, which
+        # yields per-episode returns for the CVaR tail either way.
+        import inspect
+        run = getattr(ctrl, 'run', None)
+        if (run is not None
+                and 'n_episodes' in inspect.signature(run).parameters):
+            res = run(n_episodes=self.n_episodes)
             out = np.asarray(res['ep_returns']).tolist()
+            ctrl.close()
         else:
             exp = BaseExperiment(env_func(), ctrl)
-            _, metrics = exp.run_evaluation(n_episodes=self.n_episodes,
-                                            verbose=False)
-            out = [float(metrics['average_return'])]
-        ctrl.close()
+            exp.run_evaluation(n_episodes=self.n_episodes, verbose=False)
+            out = [float(r) for r in
+                   exp.metric_extractor.get_episode_returns()]
+            exp.close()  # closes ctrl and both envs
         return out
 
     def _one_repetition_metrics(self, trial, rep) -> dict:

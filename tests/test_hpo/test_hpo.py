@@ -89,6 +89,29 @@ def test_hpo_sac_gpmpc_configs_run(tmp_path):
     assert len(study.trials) == 1
     assert study.best_value is not None
 
+    # GP-MPC: the MPC-family run(env) signature has no n_episodes — HPO
+    # must evaluate it through BaseExperiment per-episode returns
+    # (reference examples/hpo/gp_mpc drives the same path).
+    with open(os.path.join(root, 'gp_mpc_cartpole_hpo.yaml')) as f:
+        spec = yaml.safe_load(f)
+    algo_cfg = dict(spec['algo_config'])
+    algo_cfg.update(horizon=8, num_epochs=1, num_samples=15,
+                    optimization_iterations=15)
+    task_cfg = dict(spec['task_config'])
+    task_cfg['episode_len_sec'] = 2
+    hpo_cfg = dict(spec['hpo_config'])
+    hpo_cfg.update(trials=1, repetitions=1, n_episodes=2, prune=False)
+    hpo_cfg['hps_config'] = {'learning_rate': 1}
+    hpo = HPO('gp_mpc', 'cartpole', sampler='tpe',
+              output_dir=str(tmp_path / 'gp_mpc'),
+              task_config=task_cfg, algo_config=algo_cfg,
+              hpo_config=hpo_cfg)
+    study = hpo.hyperparameter_optimization()
+    assert len(study.trials) == 1
+    # A crashed trial scores exactly 0.0 — a real 2-episode quadratic-cost
+    # evaluation cannot (negative returns).
+    assert study.best_value is not None and study.best_value != 0.0
+
 
 def test_optimized_hyperparameters_artifacts_load():
     """The committed HPO result YAMLs (examples/hpo/results/*, the
