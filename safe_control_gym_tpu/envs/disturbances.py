@@ -49,6 +49,12 @@ class DisturbanceSpec:
 
     #: number of f32 slots of per-episode state this spec needs.
     state_size = 0
+    #: number of i.i.d. random slots this spec consumes PER STEP. Every
+    #: supported type is either stateless-with-noise (uniform/white/periodic)
+    #: or stateful-without-noise (impulse/step), so the batched hot loop can
+    #: pre-draw all per-step randomness in ONE (batch, noise_size) kernel
+    #: instead of per-env key splits (see ``draw``/``apply_drawn``).
+    noise_size = 0
 
     def __init__(self, dim: int, mask=None, **kwargs):
         self.dim = dim
@@ -66,6 +72,16 @@ class DisturbanceSpec:
 
     def apply(self, target, dstate, ctrl_step, t, key):
         return target
+
+    def draw(self, key, prefix=()):
+        """Pre-draw this spec's per-step randomness with shape
+        ``prefix + (noise_size,)`` — one fused kernel for a whole batch."""
+        return jnp.zeros(tuple(prefix) + (0,), dtype=jnp.float32)
+
+    def apply_drawn(self, target, dstate, ctrl_step, t, drawn):
+        """``apply`` with pre-drawn randomness (same distribution as the
+        keyed path). Default: no randomness consumed — delegate."""
+        return self.apply(target, dstate, ctrl_step, t, None)
 
 
 class ImpulseDisturbance(DisturbanceSpec):
@@ -135,12 +151,21 @@ class UniformNoise(DisturbanceSpec):
         super().__init__(dim, mask)
         self.low = _as_vec(low, dim, 'low')
         self.high = _as_vec(high, dim, 'high')
+        self.noise_size = dim
 
     def apply(self, target, dstate, ctrl_step, t, key):
         noise = jax.random.uniform(key, (self.dim,),
                                    minval=jnp.asarray(self.low),
                                    maxval=jnp.asarray(self.high))
         return target + self._masked(noise)
+
+    def draw(self, key, prefix=()):
+        return jax.random.uniform(key, tuple(prefix) + (self.dim,),
+                                  minval=jnp.asarray(self.low),
+                                  maxval=jnp.asarray(self.high))
+
+    def apply_drawn(self, target, dstate, ctrl_step, t, drawn):
+        return target + self._masked(drawn)
 
 
 class WhiteNoise(DisturbanceSpec):
@@ -149,10 +174,18 @@ class WhiteNoise(DisturbanceSpec):
     def __init__(self, dim, mask=None, std=1.0, **kwargs):
         super().__init__(dim, mask)
         self.std = _as_vec(std, dim, 'std')
+        self.noise_size = dim
 
     def apply(self, target, dstate, ctrl_step, t, key):
         noise = jax.random.normal(key, (self.dim,)) * jnp.asarray(self.std)
         return target + self._masked(noise)
+
+    def draw(self, key, prefix=()):
+        return (jax.random.normal(key, tuple(prefix) + (self.dim,))
+                * jnp.asarray(self.std))
+
+    def apply_drawn(self, target, dstate, ctrl_step, t, drawn):
+        return target + self._masked(drawn)
 
 
 class PeriodicNoise(DisturbanceSpec):
@@ -162,10 +195,20 @@ class PeriodicNoise(DisturbanceSpec):
         super().__init__(dim, mask)
         self.scale = float(scale)
         self.frequency = float(frequency)
+        self.noise_size = dim
 
     def apply(self, target, dstate, ctrl_step, t, key):
         phase = jax.random.uniform(key, (self.dim,), minval=-jnp.pi, maxval=jnp.pi)
         noise = self.scale * jnp.sin(2 * jnp.pi * self.frequency * t + phase)
+        return target + self._masked(noise)
+
+    def draw(self, key, prefix=()):
+        # Pre-drawn randomness is the per-step random phase.
+        return jax.random.uniform(key, tuple(prefix) + (self.dim,),
+                                  minval=-jnp.pi, maxval=jnp.pi)
+
+    def apply_drawn(self, target, dstate, ctrl_step, t, drawn):
+        noise = self.scale * jnp.sin(2 * jnp.pi * self.frequency * t + drawn)
         return target + self._masked(noise)
 
 
@@ -176,6 +219,7 @@ class DisturbanceList:
     def __init__(self, disturbances: Sequence[DisturbanceSpec]):
         self.disturbances = list(disturbances)
         self.state_size = sum(d.state_size for d in self.disturbances)
+        self.noise_size = sum(d.noise_size for d in self.disturbances)
 
     def init(self, key: jax.Array) -> jax.Array:
         """Sample all per-episode disturbance parameters into one flat array."""
@@ -196,6 +240,32 @@ class DisturbanceList:
             sub = dstate[idx:idx + d.state_size]
             out = d.apply(out, sub, ctrl_step, t, k)
             idx += d.state_size
+        return out
+
+    def draw(self, key, prefix=()):
+        """Pre-draw ALL per-step randomness for the list: a few fused
+        ``prefix + (dim,)`` kernels (one per stochastic spec) instead of a
+        per-env key split + per-env draw under vmap. Shape
+        ``prefix + (noise_size,)``; slots follow spec order."""
+        if self.noise_size == 0:
+            return jnp.zeros(tuple(prefix) + (0,), dtype=jnp.float32)
+        keys = jax.random.split(key, len(self.disturbances))
+        parts = [d.draw(k, prefix) for d, k in zip(self.disturbances, keys)
+                 if d.noise_size > 0]
+        return jnp.concatenate(parts, axis=-1)
+
+    def apply_drawn(self, target, dstate, ctrl_step, t, drawn):
+        """``apply`` consuming pre-drawn randomness from ``draw`` (same
+        distribution; impulse/step specs are deterministic per step and
+        take their offset from ``dstate`` as in the keyed path)."""
+        out = target
+        s_idx = n_idx = 0
+        for d in self.disturbances:
+            sub = dstate[s_idx:s_idx + d.state_size]
+            out = d.apply_drawn(out, sub, ctrl_step, t,
+                                drawn[..., n_idx:n_idx + d.noise_size])
+            s_idx += d.state_size
+            n_idx += d.noise_size
         return out
 
 
