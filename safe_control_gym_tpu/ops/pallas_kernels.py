@@ -47,16 +47,23 @@ def _cartpole_kernel(params_ref, in_ref, out_ref, *, n_substeps, dt):
 
     a11 = Mm
     a22 = (4.0 / 3.0) * m * L * L
+    # Loop invariants hoisted; per-substep divides collapse to ONE
+    # reciprocal (VPU divides are multi-cycle — measurable at 20
+    # substeps x 300M steps/s).
+    f1 = force + fx
+    mgL = m * g * L
+    fxL = fx * L
+    fzL = fz * L
 
     for _ in range(n_substeps):
         sin_t = jnp.sin(th)
         cos_t = jnp.cos(th)
         a12 = ml * cos_t
-        b1 = force + fx + ml * thd * thd * sin_t
-        b2 = m * g * L * sin_t + fx * L * cos_t - fz * L * sin_t
-        det = a11 * a22 - a12 * a12
-        x_dd = (a22 * b1 - a12 * b2) / det
-        th_dd = (a11 * b2 - a12 * b1) / det
+        b1 = f1 + ml * thd * thd * sin_t
+        b2 = mgL * sin_t + fxL * cos_t - fzL * sin_t
+        inv_det = 1.0 / (a11 * a22 - a12 * a12)
+        x_dd = (a22 * b1 - a12 * b2) * inv_det
+        th_dd = (a11 * b2 - a12 * b1) * inv_det
         # Semi-implicit Euler (PyBullet's scheme): velocities first.
         xd = xd + dt * x_dd
         thd = thd + dt * th_dd
@@ -142,15 +149,19 @@ def _quad2d_kernel(params_ref, in_ref, out_ref, *, n_substeps, dt):
     fx = in_ref[8, :]
     fz = in_ref[9, :]
 
-    total = T1 + T2
-    # Torque is state-independent: constant angular acceleration.
+    # Torque is state-independent: constant angular acceleration. All
+    # divides are loop-invariant — hoisted out of the substep loop.
     th_dd = L * (T2 - T1) / Iyy / jnp.sqrt(2.0)
+    inv_m = 1.0 / m
+    tom = (T1 + T2) * inv_m
+    fxm = fx * inv_m
+    fzm_g = fz * inv_m - g
 
     for _ in range(n_substeps):
         sin_t = jnp.sin(th)
         cos_t = jnp.cos(th)
-        x_dd = sin_t * total / m + fx / m
-        z_dd = cos_t * total / m - g + fz / m
+        x_dd = sin_t * tom + fxm
+        z_dd = cos_t * tom + fzm_g
         xd = xd + dt * x_dd
         zd = zd + dt * z_dd
         thd = thd + dt * th_dd
@@ -258,19 +269,32 @@ def _quad3d_kernel(params_ref, in_ref, out_ref, *, n_substeps, dt):
     l_sq2 = L / jnp.sqrt(2.0)
     Mx = l_sq2 * (f0 + f1 - f2 - f3)
     My = l_sq2 * (-f0 + f1 + f2 - f3)
+    # Hoist every loop-invariant divide; the substep loop keeps ONE
+    # reciprocal (1/cos_theta) — was 9 VPU divides per substep.
+    inv_m = 1.0 / m
+    tom = total * inv_m
+    fxm = fx * inv_m
+    fym = fy * inv_m
+    fzm_g = fz * inv_m - g
+    c_p = (Izz - Iyy) / Ixx
+    c_q = (Ixx - Izz) / Iyy
+    c_r = (Iyy - Ixx) / Izz
+    Mx_I = Mx / Ixx
+    My_I = My / Iyy
+    zt_I = zt / Izz
 
     for _ in range(n_substeps):
         sphi, cphi = jnp.sin(phi), jnp.cos(phi)
         sth, cth = jnp.sin(th), jnp.cos(th)
         spsi, cpsi = jnp.sin(psi), jnp.cos(psi)
         # Thrust direction = third column of Rz(psi) Ry(th) Rx(phi).
-        x_dd = (cphi * sth * cpsi + sphi * spsi) * total / m + fx / m
-        y_dd = (cphi * sth * spsi - sphi * cpsi) * total / m + fy / m
-        z_dd = cphi * cth * total / m - g + fz / m
+        x_dd = (cphi * sth * cpsi + sphi * spsi) * tom + fxm
+        y_dd = (cphi * sth * spsi - sphi * cpsi) * tom + fym
+        z_dd = cphi * cth * tom + fzm_g
         # Euler equations with diagonal inertia.
-        p_d = (Mx - q * r * (Izz - Iyy)) / Ixx
-        q_d = (My - p * r * (Ixx - Izz)) / Iyy
-        r_d = (zt - p * q * (Iyy - Ixx)) / Izz
+        p_d = Mx_I - q * r * c_p
+        q_d = My_I - p * r * c_q
+        r_d = zt_I - p * q * c_r
         # Velocities / body rates first (semi-implicit).
         xd = xd + dt * x_dd
         yd = yd + dt * y_dd
@@ -282,6 +306,10 @@ def _quad3d_kernel(params_ref, in_ref, out_ref, *, n_substeps, dt):
         x = x + dt * xd
         y = y + dt * yd
         z = z + dt * zd
+        # NOTE: keep these as plain divides — an explicit shared
+        # reciprocal (rcth = 1/cth reused across phi_d/psi_d) makes the
+        # unrolled-loop lowering superlinear (interpret-mode compile goes
+        # 35 s -> >300 s at 14-20 substeps; measured, do not "optimize").
         tth = sth / cth
         phi_d = p + sphi * tth * q + cphi * tth * r
         th_d = cphi * q - sphi * r
