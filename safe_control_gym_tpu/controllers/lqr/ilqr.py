@@ -31,13 +31,17 @@ class iLQR(LQR):
 
     def __init__(self, env_func, q_lqr=None, r_lqr=None,
                  discrete_dynamics=True, max_iterations=15, lamb_factor=10,
-                 lamb_max=1000, epsilon=0.01, **kwargs):
+                 lamb_max=1000, epsilon=0.01, fused_solve=False, **kwargs):
         super().__init__(env_func, q_lqr=q_lqr, r_lqr=r_lqr,
                          discrete_dynamics=discrete_dynamics, **kwargs)
         self.max_iterations = max_iterations
         self.lamb_factor = lamb_factor
         self.lamb_max = lamb_max
         self.epsilon = epsilon
+        # fused_solve=True routes learn() through the single-dispatch
+        # device solve (learn_fused) instead of the host iteration loop.
+        self.fused_solve = bool(fused_solve)
+        self._fused = None
         # Iteration state.
         self.ite_counter = 0
         self.traj_step = 0
@@ -140,8 +144,158 @@ class iLQR(LQR):
             self.update_unstable = True
 
     # ------------------------------------------------------------------
+    # Fused device solve: the ENTIRE iLQR optimization — max_iterations x
+    # (closed-loop rollout via func.step under lax.scan + backward pass +
+    # lambda adaptation + revert-to-best + convergence freeze) — is ONE
+    # jitted program, where the host loop above pays one dispatch per env
+    # step per iteration. vmap of the same program = batched trajectory
+    # optimization (solve_batch). Semantics parity with learn()
+    # (ilqr.py:96-183): identical improve/revert/convergence ladder; the
+    # one deliberate difference is that an unstable backward pass is
+    # reverted in the same iteration rather than after one more rollout.
+    # ------------------------------------------------------------------
+    def _goal_sequences(self, T):
+        if self.env.TASK == Task.STABILIZATION:
+            goals = np.broadcast_to(
+                np.asarray(self.env.X_GOAL, np.float32),
+                (T, self.model.nx)).copy()
+            goal_term = np.asarray(self.env.X_GOAL, np.float32)
+        else:
+            X_GOAL = np.asarray(self.env.X_GOAL, np.float32)
+            idx = np.clip(np.arange(T), 0, X_GOAL.shape[0] - 1)
+            goals = X_GOAL[idx]
+            goal_term = X_GOAL[-1]
+        return jnp.asarray(goals), jnp.asarray(goal_term)
+
+    def _make_fused_solve(self):
+        func = self.env.func
+        backward = self._make_backward()
+        T = int(self.env.CTRL_FREQ * self.env.EPISODE_LEN_SEC)
+        nx, nu = self.model.nx, self.model.nu
+        goals, goal_term = self._goal_sequences(T)
+        gain = jnp.asarray(self.gain, jnp.float32)
+        U_EQ = jnp.asarray(np.atleast_1d(self.model.U_EQ), jnp.float32)
+        # Iteration-0 policy == calculate_lqr_action (ilqr.py:314-343).
+        K0 = jnp.broadcast_to(-gain, (T, nu, nx))
+        ff0 = jax.vmap(lambda g: gain @ g + U_EQ)(goals)        # (T, nu)
+        oob_breaks = bool(getattr(self.env, 'done_on_out_of_bound', False))
+        lamb_factor = jnp.float32(self.lamb_factor)
+        lamb_max = jnp.float32(self.lamb_max)
+        eps = jnp.float32(self.epsilon)
+        max_iter = int(self.max_iterations)
+
+        def rollout(est0, obs0, K_seq, ff_seq):
+            """Closed-loop rollout; freezes after done (host loop breaks)."""
+            def body(carry, xs):
+                est, obs, done, total, oob = carry
+                K_t, ff_t = xs
+                a = K_t @ obs[:nx] + ff_t
+                est2, out = func.step(est, a)
+                est2 = jax.tree.map(
+                    lambda n, o: jnp.where(done, o, n), est2, est)
+                total = total + jnp.where(done, 0.0, -out.reward)
+                oob = jnp.logical_or(
+                    oob, jnp.logical_and(jnp.logical_not(done),
+                                         out.out_of_bounds))
+                new_obs = jnp.where(done, obs, out.obs)
+                done2 = jnp.logical_or(done, out.done)
+                return (est2, new_obs, done2, total, oob), (obs[:nx], a)
+
+            init = (est0, obs0, jnp.zeros((), bool), jnp.float32(0.0),
+                    jnp.zeros((), bool))
+            (_, _, _, total, oob), (states, inputs) = jax.lax.scan(
+                body, init, (K_seq, ff_seq))
+            return states, inputs, total, oob
+
+        def solve(est0, obs0):
+            def it_body(carry, i):
+                K, ff, Kb, ffb, prev_cost, lamb, prev_imp, conv = carry
+                states, inputs, cost, oob = rollout(est0, obs0, K, ff)
+                first = i == 0
+                stop0 = jnp.logical_and(first, oob) if oob_breaks \
+                    else jnp.zeros((), bool)
+                delta = cost - prev_cost
+                K_new, ff_new, ok = backward(states, inputs, goals,
+                                             goal_term, lamb)
+                improved = jnp.logical_or(
+                    first, jnp.logical_and(delta <= 0.0, ok))
+                lamb2 = jnp.where(improved, lamb,
+                                  jnp.minimum(lamb * lamb_factor, lamb_max))
+                Kb2 = jnp.where(improved, K, Kb)
+                ffb2 = jnp.where(improved, ff, ffb)
+                prev2 = jnp.where(improved, cost, prev_cost)
+                newconv = (jnp.logical_not(first) & improved
+                           & (jnp.abs(delta) < eps) & prev_imp)
+                prev_imp2 = jnp.logical_and(improved, jnp.logical_not(first))
+                K2 = jnp.where(improved, K_new, Kb2)
+                ff2 = jnp.where(improved, ff_new, ffb2)
+                new = (K2, ff2, Kb2, ffb2, prev2, lamb2, prev_imp2,
+                       conv | newconv | stop0)
+                # Freeze everything once converged (host loop breaks).
+                out_carry = jax.tree.map(
+                    lambda o, n: jnp.where(conv, o, n), carry, new)
+                return out_carry, jnp.where(conv, prev_cost, cost)
+
+            init = (K0, ff0, K0, ff0, jnp.float32(jnp.inf),
+                    jnp.float32(1.0), jnp.zeros((), bool),
+                    jnp.zeros((), bool))
+            (K, ff, Kb, ffb, best_cost, _, _, conv), costs = jax.lax.scan(
+                it_body, init, jnp.arange(max_iter))
+            return Kb, ffb, best_cost, costs, conv
+
+        return full_matmul_precision(solve)
+
+    def _fused_solve_fn(self):
+        if self._fused is None:
+            self._fused = jax.jit(self._make_fused_solve())
+            self._fused_batch = jax.jit(jax.vmap(self._make_fused_solve()))
+        return self._fused
+
+    def learn_fused(self, env=None, **kwargs):
+        """learn() as one device dispatch; sets the same best-policy
+        attributes select_action consumes."""
+        solve = self._fused_solve_fn()
+        est0, obs0 = self.env._reset_jit(self.env._next_key())
+        K, ff, cost, costs, conv = jax.device_get(solve(est0, obs0))
+        self.gains_fb_best = np.asarray(K)
+        self.input_ff_best = np.asarray(ff).T                    # (nu, T)
+        self.gains_fb = self.gains_fb_best
+        self.input_ff = self.input_ff_best
+        self.total_cost = float(cost)
+        self.ite_counter = int(np.sum(np.isfinite(costs)))
+        self.traj_step = 0
+        self.max_steps = int(self.env.CTRL_FREQ * self.env.EPISODE_LEN_SEC)
+        return float(cost)
+
+    def solve_batch(self, x0s):
+        """Batched trajectory optimization: one device call running B
+        independent iLQR solves (vmap of the fused program) from initial
+        states ``x0s`` (B, nx). Returns dict with stacked per-problem
+        feedback gains (B, T, nu, nx), feedforwards (B, nu, T), best
+        costs (B,) and per-iteration cost curves (B, max_iterations).
+        No reference equivalent (one CasADi process per problem)."""
+        assert self.env.COST.value == 'quadratic', \
+            'solve_batch assumes quadratic-cost envs (obs == state).'
+        self._fused_solve_fn()
+        x0s = jnp.asarray(np.atleast_2d(x0s), jnp.float32)
+        n = x0s.shape[0]
+        est, _obs = jax.jit(self.env.func.reset_batch,
+                            static_argnums=1)(self.env._next_key(), n)
+        est = est.replace(state=x0s,
+                          ctrl_step=jnp.zeros((n,), jnp.int32))
+        K, ff, cost, costs, conv = jax.device_get(
+            self._fused_batch(est, x0s))
+        return {'gains_fb': np.asarray(K),
+                'input_ff': np.transpose(np.asarray(ff), (0, 2, 1)),
+                'cost': np.asarray(cost),
+                'cost_curves': np.asarray(costs),
+                'converged': np.asarray(conv)}
+
+    # ------------------------------------------------------------------
     def learn(self, env=None, **kwargs):
         """Outer iLQR iteration loop (ilqr.py:96-183)."""
+        if self.fused_solve:
+            return self.learn_fused(env=env, **kwargs)
         if env is None:
             env = self.env
         self.lamb = 1.0
