@@ -173,6 +173,10 @@ def get_cost_weight_matrix(weights, dim: int) -> np.ndarray:
 
     Host-side helper (config processing), matches lqr_utils.py:77-99.
     """
+    if weights is None:
+        # Default to identity: np.asarray(None) is a silent nan that
+        # poisons the DARE/backward pass with nan gains.
+        weights = [1.0]
     w = np.atleast_1d(np.asarray(weights, dtype=np.float64)).ravel()
     if len(w) == dim:
         return np.diag(w)
