@@ -126,15 +126,7 @@ class iLQR(LQR):
         states = jnp.asarray(self.state_stack[:T], jnp.float32)
         inputs = jnp.asarray(np.atleast_2d(self.input_stack)[:T].reshape(T, -1),
                              jnp.float32)
-        if env.TASK == Task.STABILIZATION:
-            goals = jnp.broadcast_to(
-                jnp.asarray(self.env.X_GOAL, jnp.float32), states.shape)
-            goal_term = jnp.asarray(self.env.X_GOAL, jnp.float32)
-        else:
-            X_GOAL = np.asarray(self.env.X_GOAL)
-            idx = np.clip(np.arange(T), 0, X_GOAL.shape[0] - 1)
-            goals = jnp.asarray(X_GOAL[idx], jnp.float32)
-            goal_term = jnp.asarray(X_GOAL[-1], jnp.float32)
+        goals, goal_term = self._goal_sequences(T)
         K, ff, ok = self._backward_jit(states, inputs, goals, goal_term,
                                        jnp.float32(self.lamb))
         if bool(ok):
@@ -209,7 +201,8 @@ class iLQR(LQR):
 
         def solve(est0, obs0):
             def it_body(carry, i):
-                K, ff, Kb, ffb, prev_cost, lamb, prev_imp, conv = carry
+                K, ff, Kb, ffb, prev_cost, lamb, prev_imp, conv, abort = carry
+                frozen = jnp.logical_or(conv, abort)
                 states, inputs, cost, oob = rollout(est0, obs0, K, ff)
                 first = i == 0
                 stop0 = jnp.logical_and(first, oob) if oob_breaks \
@@ -230,39 +223,59 @@ class iLQR(LQR):
                 K2 = jnp.where(improved, K_new, Kb2)
                 ff2 = jnp.where(improved, ff_new, ffb2)
                 new = (K2, ff2, Kb2, ffb2, prev2, lamb2, prev_imp2,
-                       conv | newconv | stop0)
-                # Freeze everything once converged (host loop breaks).
+                       conv | newconv, abort | stop0)
+                # Freeze everything once converged or aborted (host loop
+                # breaks; iteration-0 out-of-bounds abort is the host's
+                # break-without-policy case, ilqr.py:157-159).
                 out_carry = jax.tree.map(
-                    lambda o, n: jnp.where(conv, o, n), carry, new)
-                return out_carry, jnp.where(conv, prev_cost, cost)
+                    lambda o, n: jnp.where(frozen, o, n), carry, new)
+                return out_carry, (jnp.where(frozen, prev_cost, cost),
+                                   frozen)
 
             init = (K0, ff0, K0, ff0, jnp.float32(jnp.inf),
                     jnp.float32(1.0), jnp.zeros((), bool),
-                    jnp.zeros((), bool))
-            (K, ff, Kb, ffb, best_cost, _, _, conv), costs = jax.lax.scan(
-                it_body, init, jnp.arange(max_iter))
-            return Kb, ffb, best_cost, costs, conv
+                    jnp.zeros((), bool), jnp.zeros((), bool))
+            (K, ff, Kb, ffb, best_cost, _, _, conv, abort), \
+                (costs, frozen_seq) = jax.lax.scan(
+                    it_body, init, jnp.arange(max_iter))
+            n_iters = jnp.sum(jnp.logical_not(frozen_seq))
+            return Kb, ffb, best_cost, costs, conv, abort, n_iters
 
         return full_matmul_precision(solve)
 
     def _fused_solve_fn(self):
         if self._fused is None:
-            self._fused = jax.jit(self._make_fused_solve())
-            self._fused_batch = jax.jit(jax.vmap(self._make_fused_solve()))
+            solve = self._make_fused_solve()
+            self._fused = jax.jit(solve)
+            self._fused_batch = jax.jit(jax.vmap(solve))
+            self._reset_batch_jit = jax.jit(self.env.func.reset_batch,
+                                            static_argnums=1)
         return self._fused
 
     def learn_fused(self, env=None, **kwargs):
         """learn() as one device dispatch; sets the same best-policy
-        attributes select_action consumes."""
+        attributes select_action consumes.
+
+        Two deliberate differences from the host loop on stochastic
+        envs: (a) randomized-init envs — the host loop re-randomizes the
+        initial state every iteration (run() calls env.reset(),
+        ilqr.py:349-389) while the fused solve optimizes ONE trajectory
+        from a single sampled initial state; (b) disturbed envs — every
+        fused iteration replays the SAME noise realization (rollouts
+        restart from est0), giving a deterministic optimization, where
+        the host loop redraws noise each iteration. They coincide for
+        deterministic envs (randomized_init=False, no disturbances)."""
         solve = self._fused_solve_fn()
         est0, obs0 = self.env._reset_jit(self.env._next_key())
-        K, ff, cost, costs, conv = jax.device_get(solve(est0, obs0))
+        K, ff, cost, costs, conv, abort, n_it = jax.device_get(
+            solve(est0, obs0))
         self.gains_fb_best = np.asarray(K)
         self.input_ff_best = np.asarray(ff).T                    # (nu, T)
         self.gains_fb = self.gains_fb_best
         self.input_ff = self.input_ff_best
         self.total_cost = float(cost)
-        self.ite_counter = int(np.sum(np.isfinite(costs)))
+        self.ite_counter = int(n_it)
+        self.solve_aborted = bool(abort)
         self.traj_step = 0
         self.max_steps = int(self.env.CTRL_FREQ * self.env.EPISODE_LEN_SEC)
         return float(cost)
@@ -279,23 +292,26 @@ class iLQR(LQR):
         self._fused_solve_fn()
         x0s = jnp.asarray(np.atleast_2d(x0s), jnp.float32)
         n = x0s.shape[0]
-        est, _obs = jax.jit(self.env.func.reset_batch,
-                            static_argnums=1)(self.env._next_key(), n)
+        est, _obs = self._reset_batch_jit(self.env._next_key(), n)
         est = est.replace(state=x0s,
                           ctrl_step=jnp.zeros((n,), jnp.int32))
-        K, ff, cost, costs, conv = jax.device_get(
+        K, ff, cost, costs, conv, abort, n_it = jax.device_get(
             self._fused_batch(est, x0s))
         return {'gains_fb': np.asarray(K),
                 'input_ff': np.transpose(np.asarray(ff), (0, 2, 1)),
                 'cost': np.asarray(cost),
                 'cost_curves': np.asarray(costs),
-                'converged': np.asarray(conv)}
+                'converged': np.asarray(conv),
+                'aborted': np.asarray(abort),
+                'iterations': np.asarray(n_it)}
 
     # ------------------------------------------------------------------
     def learn(self, env=None, **kwargs):
         """Outer iLQR iteration loop (ilqr.py:96-183)."""
-        if self.fused_solve:
-            return self.learn_fused(env=env, **kwargs)
+        if self.fused_solve and (env is None or env is self.env):
+            # The fused program closes over self.env.func — an explicit
+            # different training env must use the host loop.
+            return self.learn_fused(**kwargs)
         if env is None:
             env = self.env
         self.lamb = 1.0

@@ -80,7 +80,10 @@ class DisturbanceSpec:
 
     def apply_drawn(self, target, dstate, ctrl_step, t, drawn):
         """``apply`` with pre-drawn randomness (same distribution as the
-        keyed path). Default: no randomness consumed — delegate."""
+        keyed path). Default delegates with key=None — valid ONLY for
+        specs whose apply never consumes the key (noise_size == 0, e.g.
+        impulse/step); any spec with per-step randomness MUST declare
+        noise_size and override draw/apply_drawn (see WhiteNoise)."""
         return self.apply(target, dstate, ctrl_step, t, None)
 
 
@@ -277,6 +280,7 @@ class BrownianNoise(DisturbanceSpec):
         super().__init__(dim, mask)
         self.std = _as_vec(std, dim, 'std')
         self.state_size = dim
+        self.noise_size = dim
 
     def init(self, key):
         return jnp.zeros((self.dim,), jnp.float32)
@@ -287,6 +291,13 @@ class BrownianNoise(DisturbanceSpec):
         # DISTURBANCE_TYPES and serves as an extension point.
         walk = dstate + jax.random.normal(key, (self.dim,)) * jnp.asarray(self.std)
         return target + self._masked(walk)
+
+    def draw(self, key, prefix=()):
+        return (jax.random.normal(key, tuple(prefix) + (self.dim,))
+                * jnp.asarray(self.std))
+
+    def apply_drawn(self, target, dstate, ctrl_step, t, drawn):
+        return target + self._masked(dstate + drawn)
 
 
 class StateDependentDisturbance(DisturbanceSpec):
