@@ -18,8 +18,30 @@ then quadrotor 2D and 3D:
 """
 
 import json
+import subprocess
+import sys
+
+
+def _tpu_backend_ok(timeout=180):
+    """Probe TPU initialization in a subprocess: a broken remote backend
+    HANGS jax.devices() in-process, which a try/except cannot catch."""
+    try:
+        r = subprocess.run(
+            [sys.executable, '-c', 'import jax; jax.devices()'],
+            timeout=timeout, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+BACKEND = 'tpu' if _tpu_backend_ok() else 'cpu-fallback'
 
 import jax
+
+if BACKEND == 'cpu-fallback':
+    # The TPU tunnel is unreachable; emit an honest CPU number (clearly
+    # labeled) instead of hanging with no artifact at all.
+    jax.config.update('jax_platforms', 'cpu')
 
 # Hardware RNG (RBG) instead of threefry: the env step derives multiple
 # PRNG streams per transition and threefry bit-generation was ~1/3 of the
@@ -49,16 +71,21 @@ def main():
         measure_batched
     for system, n_steps, n_reps, ref_speedup in SYSTEMS:
         suite_id = 'quadrotor' if system == 'quadrotor_2D' else system
+        if BACKEND == 'cpu-fallback':
+            n_steps, n_reps = 256, 1  # keep the fallback run bounded
         _, steps_per_sec = measure_batched(
             suite_id, constrained=False, batch=N_ENVS, n_steps=n_steps,
             n_reps=n_reps)
         ref_sps = ref_speedup * CTRL_FREQ
+        label = ('env steps/sec/chip' if BACKEND == 'tpu'
+                 else 'env steps/sec (CPU FALLBACK - TPU unreachable)')
         print(json.dumps({
-            'metric': (f'{system} env steps/sec/chip ({N_ENVS} envs, '
+            'metric': (f'{system} {label} ({N_ENVS} envs, '
                        'ctrl 50Hz / pyb 1000Hz, random actions)'),
             'value': round(steps_per_sec, 1),
             'unit': 'ctrl steps/s',
             'vs_baseline': round(steps_per_sec / ref_sps, 1),
+            'backend': BACKEND,
         }), flush=True)
 
 
