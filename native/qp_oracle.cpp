@@ -228,8 +228,12 @@ int qp_solve(const double* P_in, const double* q_in, const double* A_in,
   w.d.assign(m, 1.0);
 
   // Ruiz equilibration, 3 sweeps: joint column norms over [P; A], then row
-  // norms of A — identical normalization order to the device solver so the
-  // two implementations report residuals in the same scaling.
+  // norms of A. Jacobi-style like the device solver (ops/qp.py:110-121):
+  // ALL norms of a phase are computed from the matrices as they stood at
+  // the phase start, THEN applied — scaling columns sequentially would
+  // fold earlier columns' symmetric P-updates into later columns' norms
+  // and land in a different scaling than the device QPSolution.
+  std::vector<double> dc(n), drr(m);
   for (int sweep = 0; sweep < 3; ++sweep) {
     for (int j = 0; j < n; ++j) {
       double cn = 0.0;
@@ -237,21 +241,22 @@ int qp_solve(const double* P_in, const double* q_in, const double* A_in,
         cn = std::max(cn, std::fabs(w.P[i * n + j]));
       for (int i = 0; i < m; ++i)
         cn = std::max(cn, std::fabs(w.A[i * n + j]));
-      const double dc = 1.0 / std::sqrt(clip(cn, 1e-8, 1e300));
-      for (int i = 0; i < n; ++i) {
-        w.P[i * n + j] *= dc;
-        w.P[j * n + i] *= dc;
-      }
-      for (int i = 0; i < m; ++i) w.A[i * n + j] *= dc;
-      w.c[j] *= dc;
+      dc[j] = 1.0 / std::sqrt(clip(cn, 1e-8, 1e300));
+    }
+    for (int j = 0; j < n; ++j) {
+      for (int i = 0; i < n; ++i) w.P[i * n + j] *= dc[j] * dc[i];
+      for (int i = 0; i < m; ++i) w.A[i * n + j] *= dc[j];
+      w.c[j] *= dc[j];
     }
     for (int i = 0; i < m; ++i) {
       double rn = 0.0;
       for (int j = 0; j < n; ++j)
         rn = std::max(rn, std::fabs(w.A[i * n + j]));
-      const double dr = 1.0 / clip(rn, 1e-8, 1e300);
-      for (int j = 0; j < n; ++j) w.A[i * n + j] *= dr;
-      w.d[i] *= dr;
+      drr[i] = 1.0 / clip(rn, 1e-8, 1e300);
+    }
+    for (int i = 0; i < m; ++i) {
+      for (int j = 0; j < n; ++j) w.A[i * n + j] *= drr[i];
+      w.d[i] *= drr[i];
     }
   }
   for (int j = 0; j < n; ++j) w.q[j] *= w.c[j];

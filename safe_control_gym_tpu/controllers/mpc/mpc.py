@@ -527,9 +527,17 @@ class MPC(BaseController):
 
     def _constraint_tightening(self, step):
         """Per-step constraint bound tightening (zeros by default;
-        GP-MPC overrides with chance-constraint offsets)."""
-        return (jnp.zeros((self.T + 1, self._ms), jnp.float32),
-                jnp.zeros((self.T, self._mu), jnp.float32))
+        GP-MPC overrides with chance-constraint offsets). Cached NUMPY
+        zeros so they ship inside the dispatch like every other argument
+        — eagerly-created device arrays here would pay separate tunnel
+        round-trips per control step and make pjit cache a second
+        executable for the mixed committed/uncommitted argument set."""
+        cached = getattr(self, '_zero_tightening', None)
+        if cached is None or cached[0].shape != (self.T + 1, self._ms):
+            cached = (np.zeros((self.T + 1, self._ms), np.float32),
+                      np.zeros((self.T, self._mu), np.float32))
+            self._zero_tightening = cached
+        return cached
 
     def get_references(self, step):
         """Reference window over the horizon, (nx, T+1) (mpc.py:334-357)."""

@@ -108,12 +108,13 @@ class HPO:
             pruner=pruner)
 
     # ------------------------------------------------------------------
-    def _one_repetition(self, trial, rep) -> list:
-        """Train + evaluate once; returns the episode-return list."""
-        # Seeds and output dirs derive from the trial's globally unique
-        # uid, not its locally computed number: concurrent workers sharing
-        # one study can race to the same number between refreshes, which
-        # would duplicate seeds and clobber each other's trial dirs.
+    def _build_trial_controller(self, trial, rep):
+        """Shared trial setup: env factory + trained controller.
+
+        Seeds and output dirs derive from the trial's globally unique
+        uid, not its locally computed number: concurrent workers sharing
+        one study can race to the same number between refreshes, which
+        would duplicate seeds and clobber each other's trial dirs."""
         seed = 1000 * (int(trial.uid[:8], 16) % 100_000 + 1) + rep
         env_func = partial(make, self.task, seed=seed, **self.task_config)
         cfg = {**self.algo_config, **self._suggestion}
@@ -125,6 +126,11 @@ class HPO:
         if hasattr(ctrl, 'reset'):
             ctrl.reset()
         ctrl.learn()
+        return env_func, ctrl
+
+    def _one_repetition(self, trial, rep) -> list:
+        """Train + evaluate once; returns the episode-return list."""
+        env_func, ctrl = self._build_trial_controller(trial, rep)
         # RL controllers expose the fast batched self-eval run(n_episodes);
         # MPC-family run() is the reference's single-episode signature
         # (run(env, ...)) — evaluate those through BaseExperiment, which
@@ -149,17 +155,7 @@ class HPO:
         (the reference's per-repetition ``metrics[objective]`` source,
         hpo.py:136-139). Used whenever the objective list names metric
         keys instead of the raw-'return' fast path."""
-        seed = 1000 * (int(trial.uid[:8], 16) % 100_000 + 1) + rep
-        env_func = partial(make, self.task, seed=seed, **self.task_config)
-        cfg = {**self.algo_config, **self._suggestion}
-        ctrl = make(self.algo, env_func, seed=seed,
-                    output_dir=os.path.join(
-                        self.output_dir,
-                        f'trial_{trial.number}_{trial.uid[:8]}'),
-                    **cfg)
-        if hasattr(ctrl, 'reset'):
-            ctrl.reset()
-        ctrl.learn()
+        env_func, ctrl = self._build_trial_controller(trial, rep)
         exp = BaseExperiment(env_func(), ctrl)
         _, metrics = exp.run_evaluation(n_episodes=self.n_episodes,
                                         verbose=False)
@@ -182,7 +178,11 @@ class HPO:
             if metric_mode:
                 metrics = self._one_repetition_metrics(trial, rep)
                 for n in self.objectives:
-                    samples[n].append(float(metrics[n]))
+                    # 'return' in a metric-mode list aliases the
+                    # MetricExtractor key (compute_metrics emits
+                    # 'average_return', never 'return').
+                    key = 'average_return' if n == 'return' else n
+                    samples[n].append(float(metrics[key]))
             else:
                 samples['return'].extend(self._one_repetition(trial, rep))
 
@@ -227,9 +227,14 @@ class HPO:
         except TrialPruned:
             raise
         except Exception as e:
-            # Crashed trials score 0 (hpo.py:111-133).
+            # Crashed trials score the WORST value under each objective's
+            # direction (the reference's 0.0 sentinel, hpo.py:111-133, is
+            # only safe for its maximize-only studies — with 'minimize'
+            # a 0.0 crash would rank as the best possible trial).
             print(f'[HPO] trial crashed: {e}')
-            return [0.0] * len(self.objectives) if multi else 0.0
+            worst = [float('-inf') if d == 'maximize' else float('inf')
+                     for d in self.directions]
+            return worst if multi else worst[0]
         return scores if multi else scores[0]
 
     # ------------------------------------------------------------------
@@ -239,6 +244,10 @@ class HPO:
                             catch=(Exception,))
         self.save_results()
         return self.study
+
+    def close(self):
+        """Release the study's storage engine (SQLite connection)."""
+        self.study.close()
 
     def save_results(self, top_n: int = 3):
         """trials.csv + best-hyperparameter YAMLs + importance/history
@@ -326,7 +335,8 @@ class HPO:
         matplotlib.use('Agg')
         import matplotlib.pyplot as plt
         trials = [t for t in self.study.trials
-                  if self.study._values_of(t) is not None]
+                  if self.study._values_of(t) is not None
+                  and np.isfinite(self.study._values_of(t)).all()]
         if not trials:
             return
         multi = len(self.objectives) > 1

@@ -389,6 +389,19 @@ class Study:
                 front.append(t)
         return front
 
+    def close(self):
+        """Release the storage engine (the SQLite connection and its WAL
+        sidecars stay open otherwise — one leak per study per worker)."""
+        if self._store is not None:
+            self._store.close()
+            self._store = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
     def is_better(self, value) -> bool:
         """True when ``value`` improves on the incumbent under this study's
         own direction(s) (so callers never hardcode max/min semantics).
