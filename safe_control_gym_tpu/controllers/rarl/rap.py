@@ -56,6 +56,12 @@ class RAP(RARL):
                             *[a.params for a in self.adversaries])
 
     def _build_pop_rollout(self):
+        self._pop_rollout_raw = self._make_pop_rollout()
+        self._pop_rollout_jit = jax.jit(self._pop_rollout_raw)
+        self._pop_fused_jit = jax.jit(self._make_pop_fused(),
+                                      static_argnums=(9, 10, 11, 12, 13))
+
+    def _make_pop_rollout(self):
         step_autoreset = self.func_env.step_autoreset
         N, T = self.N, self.T
         activation = self.agent.activation
@@ -124,7 +130,71 @@ class RAP(RARL):
                       'adv': a_advs, 'ret': a_rets, 'v': a_v_b}
             return env_states, obs, key, p_batch, a_data, raw_rew.mean()
 
-        self._pop_rollout_jit = jax.jit(rollout)
+        return rollout
+
+    def _make_pop_fused(self):
+        """K alternating (protagonist x n_p, population x n_a) RAP cycles
+        as ONE device program (rap.py:30-470 semantics, fused).
+
+        The per-iteration adversary assignment is sampled INSIDE the scan
+        (balanced permutation of the round-robin base); per-member update
+        batches come from a sort-by-assignment gather into statically
+        shaped (A, T*N/A, ...) blocks, and the whole population updates in
+        one ``vmap`` of the PPO update over the stacked member pytrees."""
+        rollout = self._make_pop_rollout()
+        p_update = self.agent._make_update()
+        a_update = self.adversaries[0]._make_update()
+        vm_update = jax.vmap(a_update)
+        N, T, A = self.N, self.T, self.num_adversaries
+        base = jnp.arange(N, dtype=jnp.int32) % A
+
+        def member_batches(a_data, order):
+            def g(x):
+                x = x.reshape(T, N, -1)[:, order]
+                return (x.reshape(T, A, N // A, -1)
+                        .transpose(1, 0, 2, 3)
+                        .reshape(A, T * (N // A), -1))
+            return {k: g(v) for k, v in a_data.items()}
+
+        def fused(pp, pa, pc, apS, aaS, acS, env_states, obs, key,
+                  K, n_p, n_a, train_prot, train_adv):
+            def p_iter(carry, k):
+                pp, pa, pc, apS, aaS, acS, env_states, obs = carry
+                ks, kr, ku = jax.random.split(k, 3)
+                assign = base[jax.random.permutation(ks, N)]
+                env_states, obs, _, p_batch, _, mean_rew = rollout(
+                    pp, apS, assign, env_states, obs, kr)
+                if train_prot:
+                    pp, pa, pc, _ = p_update(pp, pa, pc, p_batch, ku)
+                return (pp, pa, pc, apS, aaS, acS, env_states, obs), mean_rew
+
+            def a_iter(carry, k):
+                pp, pa, pc, apS, aaS, acS, env_states, obs = carry
+                ks, kr, ku = jax.random.split(k, 3)
+                assign = base[jax.random.permutation(ks, N)]
+                env_states, obs, _, _, a_data, mean_rew = rollout(
+                    pp, apS, assign, env_states, obs, kr)
+                if train_adv:
+                    order = jnp.argsort(assign)
+                    batches = member_batches(a_data, order)
+                    apS, aaS, acS, _ = vm_update(
+                        apS, aaS, acS, batches, jax.random.split(ku, A))
+                return (pp, pa, pc, apS, aaS, acS, env_states, obs), mean_rew
+
+            def cycle(carry, k):
+                kp, ka = jax.random.split(k)
+                carry, p_rews = jax.lax.scan(
+                    p_iter, carry, jax.random.split(kp, n_p))
+                carry, a_rews = jax.lax.scan(
+                    a_iter, carry, jax.random.split(ka, n_a))
+                return carry, jnp.concatenate([p_rews, a_rews]).mean()
+
+            carry, rews = jax.lax.scan(
+                cycle, (pp, pa, pc, apS, aaS, acS, env_states, obs),
+                jax.random.split(key, K))
+            return carry, rews.mean()
+
+        return fused
 
     # ------------------------------------------------------------------
     def _sample_assignment(self):
@@ -139,6 +209,10 @@ class RAP(RARL):
             self.reset()
         max_env_steps = int(self.max_env_steps)
         steps_per_iter = self.N * self.T
+        fused_k = max(1, int(getattr(self, 'fused_iterations', 1)))
+        if fused_k > 1:
+            self._learn_fused(max_env_steps, steps_per_iter, fused_k)
+            return
         mean_rew = 0.0
         while self.total_steps < max_env_steps:
             for _ in range(int(self.agent_iterations)):
@@ -168,6 +242,37 @@ class RAP(RARL):
                     batch_k = {name: jnp.asarray(v) for name, v in batch_k.items()}
                     adversary.update(batch_k, self._next_key())
                 self.total_steps += steps_per_iter
+            if self.log_interval:
+                self.logger.add_scalar('rap/mean_reward', float(mean_rew),
+                                       self.total_steps)
+                self.logger.dump_scalars()
+        self.save(self.checkpoint_path)
+
+    def _learn_fused(self, max_env_steps, steps_per_iter, fused_k):
+        """Dispatch K whole RAP cycles per host round-trip."""
+        stack = lambda trees: jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+        n_p = int(self.agent_iterations)
+        n_a = int(self.adversary_iterations)
+        train_prot = bool(getattr(self, 'train_protagonist', True))
+        train_adv = bool(getattr(self, 'train_adversary', True))
+        steps_per_cycle = (n_p + n_a) * steps_per_iter
+        while self.total_steps < max_env_steps:
+            apS = stack([a.params for a in self.adversaries])
+            aaS = stack([a.actor_opt_state for a in self.adversaries])
+            acS = stack([a.critic_opt_state for a in self.adversaries])
+            ((pp, pa, pc, apS, aaS, acS, self._env_states, self._obs),
+             mean_rew) = self._pop_fused_jit(
+                self.agent.params, self.agent.actor_opt_state,
+                self.agent.critic_opt_state, apS, aaS, acS,
+                self._env_states, self._obs, self._next_key(),
+                fused_k, n_p, n_a, train_prot, train_adv)
+            (self.agent.params, self.agent.actor_opt_state,
+             self.agent.critic_opt_state) = pp, pa, pc
+            for i, adv in enumerate(self.adversaries):
+                adv.params = jax.tree.map(lambda x: x[i], apS)
+                adv.actor_opt_state = jax.tree.map(lambda x: x[i], aaS)
+                adv.critic_opt_state = jax.tree.map(lambda x: x[i], acS)
+            self.total_steps += steps_per_cycle * fused_k
             if self.log_interval:
                 self.logger.add_scalar('rap/mean_reward', float(mean_rew),
                                        self.total_steps)

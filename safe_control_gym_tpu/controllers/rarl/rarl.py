@@ -80,6 +80,15 @@ class RARL(BaseController):
 
     # ------------------------------------------------------------------
     def _build_rollout(self):
+        self._rollout_raw = self._make_rollout()
+        self._rollout_jit = jax.jit(self._rollout_raw)
+        # K whole (protagonist-phase + adversary-phase) cycles as ONE
+        # device program; phase lengths and train flags are static so a
+        # flag flip (e.g. freezing the adversary) retraces correctly.
+        self._fused_jit = jax.jit(self._make_fused(),
+                                  static_argnums=(9, 10, 11, 12, 13))
+
+    def _make_rollout(self):
         step_autoreset = self.func_env.step_autoreset
         N, T = self.N, self.T
         activation = self.agent.activation
@@ -152,7 +161,54 @@ class RARL(BaseController):
                        'v': a_v_b.reshape(M, -1)}
             return env_states, obs, key, p_batch, a_batch, raw_rew.mean()
 
-        self._rollout_jit = jax.jit(rollout)
+        return rollout
+
+    def _make_fused(self):
+        """K complete alternating (protagonist x n_p, adversary x n_a)
+        RARL cycles (rarl.py:460-489 semantics) as ONE device program.
+
+        Same rationale as PPO's ``fused_iterations``: each phase iteration
+        is a fused rollout scan + a fully-jitted PPO update, so the only
+        per-K-cycles host interaction is the single dispatch. Both agents'
+        params and Adam states ride the scan carry."""
+        rollout = self._make_rollout()
+        p_update = self.agent._make_update()
+        a_update = self.adversary._make_update()
+
+        def fused(pp, pa, pc, ap, aa, ac, env_states, obs, key,
+                  K, n_p, n_a, train_prot, train_adv):
+            def p_iter(carry, k):
+                pp, pa, pc, ap, aa, ac, env_states, obs = carry
+                kr, ku = jax.random.split(k)
+                env_states, obs, _, p_batch, _, mean_rew = rollout(
+                    pp, ap, env_states, obs, kr, jnp.asarray(train_adv))
+                if train_prot:
+                    pp, pa, pc, _ = p_update(pp, pa, pc, p_batch, ku)
+                return (pp, pa, pc, ap, aa, ac, env_states, obs), mean_rew
+
+            def a_iter(carry, k):
+                pp, pa, pc, ap, aa, ac, env_states, obs = carry
+                kr, ku = jax.random.split(k)
+                env_states, obs, _, _, a_batch, mean_rew = rollout(
+                    pp, ap, env_states, obs, kr, jnp.asarray(True))
+                if train_adv:
+                    ap, aa, ac, _ = a_update(ap, aa, ac, a_batch, ku)
+                return (pp, pa, pc, ap, aa, ac, env_states, obs), mean_rew
+
+            def cycle(carry, k):
+                kp, ka = jax.random.split(k)
+                carry, p_rews = jax.lax.scan(
+                    p_iter, carry, jax.random.split(kp, n_p))
+                carry, a_rews = jax.lax.scan(
+                    a_iter, carry, jax.random.split(ka, n_a))
+                return carry, jnp.concatenate([p_rews, a_rews]).mean()
+
+            carry, rews = jax.lax.scan(
+                cycle, (pp, pa, pc, ap, aa, ac, env_states, obs),
+                jax.random.split(key, K))
+            return carry, rews.mean()
+
+        return fused
 
     # ------------------------------------------------------------------
     def reset(self):
@@ -181,6 +237,31 @@ class RARL(BaseController):
         steps_per_iter = self.N * self.T
         train_prot = bool(getattr(self, 'train_protagonist', True))
         train_adv = bool(getattr(self, 'train_adversary', True))
+        fused_k = max(1, int(getattr(self, 'fused_iterations', 1)))
+        if fused_k > 1:
+            n_p = int(self.agent_iterations)
+            n_a = int(self.adversary_iterations)
+            steps_per_cycle = (n_p + n_a) * steps_per_iter
+            while self.total_steps < max_env_steps:
+                ((pp, pa, pc, ap, aa, ac, self._env_states, self._obs),
+                 mean_rew) = self._fused_jit(
+                    self.agent.params, self.agent.actor_opt_state,
+                    self.agent.critic_opt_state, self.adversary.params,
+                    self.adversary.actor_opt_state,
+                    self.adversary.critic_opt_state, self._env_states,
+                    self._obs, self._next_key(), fused_k, n_p, n_a,
+                    train_prot, train_adv)
+                (self.agent.params, self.agent.actor_opt_state,
+                 self.agent.critic_opt_state) = pp, pa, pc
+                (self.adversary.params, self.adversary.actor_opt_state,
+                 self.adversary.critic_opt_state) = ap, aa, ac
+                self.total_steps += steps_per_cycle * fused_k
+                if self.log_interval:
+                    self.logger.add_scalar('rarl/mean_reward',
+                                           float(mean_rew), self.total_steps)
+                    self.logger.dump_scalars()
+            self.save(self.checkpoint_path)
+            return
         while self.total_steps < max_env_steps:
             # Protagonist phase.
             for _ in range(int(self.agent_iterations)):

@@ -170,6 +170,30 @@ class SafeExplorerPPO(BaseController):
 
         self._rollout_jit = jax.jit(rollout)
 
+        # -- fused multi-iteration training (fused_iterations=K) ---------
+        # Same pattern as PPO._make_fused: K complete (projected rollout ->
+        # KL-gated minibatch update) iterations as ONE device program; the
+        # frozen safety-layer params are a closed-over constant per trace.
+        update = self.agent._make_update()
+
+        def fused(params, a_state, c_state, safety_params, env_states, obs,
+                  c, key, K):
+            def body(carry, k):
+                params, a_state, c_state, env_states, obs, c = carry
+                kr, ku = jax.random.split(k)
+                env_states, obs, c, _, batch, stats = rollout(
+                    params, safety_params, env_states, obs, c, kr)
+                params, a_state, c_state, results = update(
+                    params, a_state, c_state, batch, ku)
+                return (params, a_state, c_state, env_states, obs, c), {
+                    **stats, **results}
+            carry, outs = jax.lax.scan(
+                body, (params, a_state, c_state, env_states, obs, c),
+                jax.random.split(key, K))
+            return carry, jax.tree.map(lambda x: x.mean(), outs)
+
+        self._fused_jit = jax.jit(fused, static_argnames='K')
+
     # ------------------------------------------------------------------
     def reset(self):
         keys = jax.random.split(self._next_key(), self.N)
@@ -210,14 +234,29 @@ class SafeExplorerPPO(BaseController):
             self.load_safety_layer(self.pretrained)
         max_env_steps = int(self.max_env_steps)
         steps_per_iter = self.N * self.T
+        fused_k = max(1, int(getattr(self, 'fused_iterations', 1)))
         while self.total_steps < max_env_steps:
-            (self._env_states, self._obs, self._c, _, batch,
-             stats) = self._rollout_jit(self.agent.params,
-                                        self.safety_layer.params,
-                                        self._env_states, self._obs, self._c,
-                                        self._next_key())
-            results = self.agent.update(batch, self._next_key())
-            self.total_steps += steps_per_iter
+            if fused_k > 1:
+                ((params, a_state, c_state, self._env_states, self._obs,
+                  self._c), outs) = self._fused_jit(
+                    self.agent.params, self.agent.actor_opt_state,
+                    self.agent.critic_opt_state, self.safety_layer.params,
+                    self._env_states, self._obs, self._c, self._next_key(),
+                    K=fused_k)
+                self.agent.params = params
+                self.agent.actor_opt_state = a_state
+                self.agent.critic_opt_state = c_state
+                results = {k: float(v) for k, v in outs.items()}
+                stats = {}
+                self.total_steps += steps_per_iter * fused_k
+            else:
+                (self._env_states, self._obs, self._c, _, batch,
+                 stats) = self._rollout_jit(self.agent.params,
+                                            self.safety_layer.params,
+                                            self._env_states, self._obs,
+                                            self._c, self._next_key())
+                results = self.agent.update(batch, self._next_key())
+                self.total_steps += steps_per_iter
             results.update({k: float(v) for k, v in stats.items()})
             if self.log_interval and self.total_steps % self.log_interval < steps_per_iter:
                 for k, v in results.items():

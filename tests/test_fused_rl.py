@@ -56,6 +56,88 @@ def test_fused_ddpg_trains():
     ctrl.close()
 
 
+ADV_CFG = dict(seed=3, cost='rl_reward', normalized_rl_action_space=True,
+               randomized_init=True, episode_len_sec=3, ctrl_freq=15,
+               pyb_freq=750, adversary_disturbance='dynamics',
+               adversary_disturbance_scale=1.0)
+
+
+def test_fused_rarl_trains(tmp_path):
+    """K whole (protagonist + adversary) RARL cycles in one dispatch."""
+    cfg = get_config('rarl')
+    cfg.update(rollout_batch_size=4, rollout_steps=16, agent_iterations=1,
+               adversary_iterations=1, opt_epochs=2, mini_batch_size=32,
+               fused_iterations=2, max_env_steps=4 * 16 * 2 * 2,
+               log_interval=0)
+    ctrl = make('rarl', partial(make, 'cartpole', **ADV_CFG), training=True,
+                seed=1, output_dir=str(tmp_path), **cfg)
+    p0 = np.asarray(ctrl.agent.params['logstd'])
+    a0 = np.asarray(ctrl.adversary.params['logstd'])
+    ctrl.learn()
+    assert ctrl.total_steps >= cfg['max_env_steps']
+    assert not np.allclose(p0, np.asarray(ctrl.agent.params['logstd']))
+    assert not np.allclose(a0, np.asarray(ctrl.adversary.params['logstd']))
+    # Flag flip retraces (static arg): frozen adversary stays frozen.
+    ctrl.train_adversary = False
+    a1 = np.asarray(ctrl.adversary.params['logstd'])
+    ctrl.max_env_steps = ctrl.total_steps + 4 * 16 * 2 * 2
+    ctrl.learn()
+    assert np.allclose(a1, np.asarray(ctrl.adversary.params['logstd']))
+    res = ctrl.run(n_episodes=1)
+    assert np.isfinite(res['ep_returns']).all()
+    ctrl.close()
+
+
+def test_fused_rap_trains(tmp_path):
+    """Fused RAP: in-scan balanced assignment + vmapped population update
+    moves EVERY member, and members diverge (distinct batches/keys)."""
+    cfg = get_config('rap')
+    cfg.update(rollout_batch_size=8, rollout_steps=16, agent_iterations=1,
+               adversary_iterations=1, opt_epochs=2, mini_batch_size=32,
+               fused_iterations=2, max_env_steps=8 * 16 * 2 * 2,
+               num_adversaries=2, log_interval=0)
+    ctrl = make('rap', partial(make, 'cartpole', **ADV_CFG), training=True,
+                seed=1, output_dir=str(tmp_path), **cfg)
+    before = [np.asarray(a.params['actor'][-1]['b'])
+              for a in ctrl.adversaries]
+    ctrl.learn()
+    assert ctrl.total_steps >= cfg['max_env_steps']
+    after = [np.asarray(a.params['actor'][-1]['b'])
+             for a in ctrl.adversaries]
+    for b, a in zip(before, after):
+        assert not np.allclose(b, a), 'population member did not train'
+    assert not np.allclose(after[0], after[1]), \
+        'population members should diverge'
+    for a in ctrl.adversaries:
+        for leaf in np.asarray(a.params['logstd']).ravel():
+            assert np.isfinite(leaf)
+    ctrl.close()
+
+
+def test_fused_safe_explorer_trains(tmp_path):
+    """Fused safety-projected PPO iterations in one dispatch."""
+    se_cfg_env = dict(seed=7, cost='rl_reward',
+                      normalized_rl_action_space=True, randomized_init=True,
+                      episode_len_sec=3, ctrl_freq=15, pyb_freq=750,
+                      constraints=[{'constraint_form': 'abs_bound',
+                                    'constrained_variable': 'state',
+                                    'bound': [1.5, 2.0, 0.3, 2.0]}],
+                      done_on_violation=False, done_on_out_of_bound=False)
+    cfg = get_config('safe_explorer_ppo')
+    cfg.update(rollout_batch_size=4, rollout_steps=16, opt_epochs=2,
+               mini_batch_size=32, fused_iterations=3,
+               max_env_steps=4 * 16 * 3, constraint_epochs=1,
+               constraint_steps_per_epoch=64, constraint_batch_size=32,
+               log_interval=0)
+    ctrl = make('safe_explorer_ppo', partial(make, 'cartpole', **se_cfg_env),
+                training=True, seed=0, output_dir=str(tmp_path), **cfg)
+    p0 = np.asarray(ctrl.agent.params['logstd'])
+    ctrl.learn()
+    assert ctrl.total_steps >= cfg['max_env_steps']
+    assert not np.allclose(p0, np.asarray(ctrl.agent.params['logstd']))
+    ctrl.close()
+
+
 def test_fd_func_casadi_call_style():
     """fd_func accepts the reference's cs.integrator style (x0=, p=)."""
     import jax.numpy as jnp
