@@ -196,6 +196,10 @@ class RAP(RARL):
 
         return fused
 
+    def _all_agents(self):
+        # shard_over replicates the whole population (RARL.shard_over).
+        return [self.agent] + list(self.adversaries)
+
     # ------------------------------------------------------------------
     def _sample_assignment(self):
         """Balanced random adversary assignment over the env batch."""

@@ -216,6 +216,39 @@ class RARL(BaseController):
         self._env_states, self._obs = jax.vmap(self.func_env.reset)(keys)
         self.setup_results_dict()
 
+    def _all_agents(self):
+        return [self.agent, self.adversary]
+
+    def shard_over(self, mesh, axis_name: str = 'env'):
+        """Distribute adversarial training over a ``jax.sharding.Mesh``:
+        env states and both transition streams shard along ``axis_name``
+        (data parallel); protagonist AND adversary params + Adam moments
+        are replicated, so the minibatch-mean gradients in BOTH updates
+        become cross-chip psum collectives inserted by XLA. Composes with
+        ``fused_iterations`` (the whole multi-cycle scan runs SPMD).
+        Same contract as PPO.shard_over."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        assert self.N % mesh.shape[axis_name] == 0, \
+            'rollout_batch_size must divide evenly over the mesh'
+        if self._env_states is None:
+            self.reset()
+        batch_sh = NamedSharding(mesh, P(axis_name))
+        repl = NamedSharding(mesh, P())
+        self._env_states = jax.device_put(
+            self._env_states,
+            jax.tree.map(lambda _: batch_sh, self._env_states))
+        self._obs = jax.device_put(self._obs, batch_sh)
+        for agent in self._all_agents():
+            agent.params = jax.device_put(
+                agent.params, jax.tree.map(lambda _: repl, agent.params))
+            agent.actor_opt_state = jax.device_put(
+                agent.actor_opt_state,
+                jax.tree.map(lambda _: repl, agent.actor_opt_state))
+            agent.critic_opt_state = jax.device_put(
+                agent.critic_opt_state,
+                jax.tree.map(lambda _: repl, agent.critic_opt_state))
+        self._mesh = mesh
+
     def close(self):
         self.env.close()
         self.eval_env.close()

@@ -84,6 +84,65 @@ def test_sac_sharded_fused_training(tmp_path):
     ctrl.close()
 
 
+ADV_CFG = dict(cost='rl_reward', normalized_rl_action_space=True,
+               episode_len_sec=3, ctrl_freq=15, pyb_freq=750,
+               randomized_init=True, adversary_disturbance='dynamics',
+               adversary_disturbance_scale=1.0)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 devices')
+def test_rarl_sharded_fused_training(tmp_path):
+    """Adversarial training over the mesh: env batch sharded, BOTH agents'
+    params replicated and updated through cross-chip gradient psums,
+    composed with the fused multi-cycle scan."""
+    mesh = make_env_mesh(8)
+    env_func = partial(make, 'cartpole', seed=5, **ADV_CFG)
+    cfg = get_config('rarl')
+    cfg.update(rollout_batch_size=16, rollout_steps=32, agent_iterations=1,
+               adversary_iterations=1, opt_epochs=2, mini_batch_size=128,
+               fused_iterations=2, max_env_steps=16 * 32 * 2 * 2 * 2,
+               log_interval=0)
+    ctrl = make('rarl', env_func, training=True, seed=2,
+                output_dir=str(tmp_path), **cfg)
+    ctrl.reset()
+    a0 = np.asarray(ctrl.adversary.params['logstd'])
+    ctrl.shard_over(mesh)
+    assert not ctrl._obs.sharding.is_fully_replicated
+    ctrl.learn()
+    assert ctrl.total_steps >= cfg['max_env_steps']
+    assert _replica_consistent(ctrl.agent.params)
+    assert _replica_consistent(ctrl.adversary.params)
+    assert _replica_consistent(ctrl.adversary.actor_opt_state)
+    assert not np.allclose(a0, np.asarray(ctrl.adversary.params['logstd']))
+    assert np.isfinite(_eval_return(ctrl, n=2))
+    ctrl.close()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 devices')
+def test_rap_sharded_fused_training(tmp_path):
+    """Population training over the mesh: the in-scan assignment gather
+    crosses shards; every member stays replica-consistent."""
+    mesh = make_env_mesh(8)
+    env_func = partial(make, 'cartpole', seed=5, **ADV_CFG)
+    cfg = get_config('rap')
+    cfg.update(rollout_batch_size=16, rollout_steps=32, agent_iterations=1,
+               adversary_iterations=1, opt_epochs=2, mini_batch_size=128,
+               fused_iterations=2, max_env_steps=16 * 32 * 2 * 2 * 2,
+               num_adversaries=2, log_interval=0)
+    ctrl = make('rap', env_func, training=True, seed=2,
+                output_dir=str(tmp_path), **cfg)
+    ctrl.reset()
+    ctrl.shard_over(mesh)
+    assert not ctrl._obs.sharding.is_fully_replicated
+    ctrl.learn()
+    assert ctrl.total_steps >= cfg['max_env_steps']
+    assert _replica_consistent(ctrl.agent.params)
+    for adv in ctrl.adversaries:
+        assert _replica_consistent(adv.params)
+    assert np.isfinite(_eval_return(ctrl, n=2))
+    ctrl.close()
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 devices')
 def test_ppo_tensor_parallel_training_matches_single_device(tmp_path):
     """dp x tp: actor/critic weights megatron-partitioned over the 'model'
