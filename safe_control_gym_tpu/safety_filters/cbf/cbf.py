@@ -148,7 +148,9 @@ class CBF(BaseSafetyFilter):
                 res = sol1.prim_res
             return u_sol, slack, res
 
+        self._solve_raw = solve
         self._solve_jit = jax.jit(solve)
+        self._solve_batch_jit = None
 
     def solve_optimization(self, current_state, uncertified_action
                            ) -> Tuple[np.ndarray, bool]:
@@ -172,6 +174,57 @@ class CBF(BaseSafetyFilter):
     def _nn_terms(self, state):
         """Learned Lie-derivative residual terms (zero for plain CBF)."""
         return jnp.zeros((self.model.nu,)), jnp.zeros(())
+
+    def _nn_terms_batch(self, states):
+        """(B, nu) / (B,) residual terms for a batch (zero for plain CBF)."""
+        B = states.shape[0]
+        return jnp.zeros((B, self.model.nu)), jnp.zeros((B,))
+
+    # ------------------------------------------------------------------
+    def certify_action_batch(self, states, actions):
+        """Certify B (state, action) pairs in ONE vmapped device call.
+
+        Same pattern as ``LinearMPSC.certify_action_batch`` and
+        ``MPC.select_action_batch``: the whole two-candidate CBF-QP
+        (hard branch + analytic-penalty branch) vmaps over the batch; no
+        reference equivalent (one qpOASES process per call, cbf.py:105-162).
+        Residual terms (CBF-NN) are evaluated for the whole batch with one
+        MLP application outside the trace, so updated network params never
+        go stale inside the compiled program. Composes with
+        ``shard_over(mesh)`` to split the batch across chips.
+
+        Returns (certified_actions (B, nu), feasible (B,) bool).
+        """
+        lo, hi = self.env.physical_action_bounds
+        states = np.asarray(states, np.float32)
+        actions = np.clip(np.atleast_2d(np.asarray(actions, np.float32)),
+                          lo, hi).astype(np.float32)
+        if self._solve_batch_jit is None:
+            self._solve_batch_jit = jax.jit(jax.vmap(self._solve_raw))
+        nn_a, nn_b = self._nn_terms_batch(states)
+        args = self._place_batched(states, actions, jnp.asarray(nn_a),
+                                   jnp.asarray(nn_b))
+        u, slack, res = jax.device_get(self._solve_batch_jit(*args))
+        feasible = np.isfinite(res) & (res < self.feas_tol)
+        if self.soft_constrained:
+            feasible &= np.asarray(slack) <= self.slack_tolerance
+        return np.asarray(u), feasible
+
+    def shard_over(self, mesh, axis_name: str = 'data'):
+        """Distribute ``certify_action_batch`` over a device mesh (batch
+        axis sharded, QP constants replicated — embarrassingly parallel;
+        mirrors LinearMPSC.shard_over)."""
+        self._solve_mesh = mesh
+        self._solve_mesh_axis = axis_name
+        self._solve_batch_jit = None
+
+    def _place_batched(self, *arrays):
+        mesh = getattr(self, '_solve_mesh', None)
+        if mesh is None:
+            return arrays
+        from jax.sharding import NamedSharding, PartitionSpec
+        sh = NamedSharding(mesh, PartitionSpec(self._solve_mesh_axis))
+        return tuple(jax.device_put(a, sh) for a in arrays)
 
     def certify_action(self, current_state, uncertified_action, info=None
                        ) -> Tuple[np.ndarray, bool]:

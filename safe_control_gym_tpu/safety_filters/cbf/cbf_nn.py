@@ -92,6 +92,13 @@ class CBF_NN(CBF):
                         jnp.asarray(state, jnp.float32)[None], 'relu')[0]
         return a_b[:self.model.nu], a_b[self.model.nu]
 
+    def _nn_terms_batch(self, states):
+        """Whole-batch residual terms in one MLP application (for
+        certify_action_batch); current params, never trace-stale."""
+        a_b = mlp_apply(self.mlp_params, jnp.asarray(states, jnp.float32),
+                        'relu')
+        return a_b[:, :self.model.nu], a_b[:, self.model.nu]
+
     # ------------------------------------------------------------------
     def learn(self, env=None, **kwargs):
         """Collect episodes + regress the residual (cbf_nn.py:310-385)."""

@@ -131,6 +131,37 @@ def test_rpi_set_invariance_12dim():
         f'RPI violated: max (Ax+w)P(Ax+w) = {lhs.max():.4f}'
 
 
+def test_cbf_batch_certification_matches_sequential(cbf_filter):
+    """certify_action_batch: B CBF-QPs in one vmapped device program must
+    agree with the per-call path (actions and feasibility), including a
+    mesh-sharded run when 8 devices are available."""
+    sf = cbf_filter
+    states = np.stack([
+        np.zeros(4),
+        np.array([0, 0, 0.28, 1.0]),
+        np.array([0, 0, -0.2, -0.5]),
+        np.array([0.1, -0.2, 0.15, 0.4])]).astype(np.float32)
+    actions = np.array([[0.1], [3.0], [-3.0], [1.5]], np.float32)
+    batch_u, batch_ok = sf.certify_action_batch(states, actions)
+    assert batch_u.shape == (4, 1) and batch_ok.shape == (4,)
+    for i in range(4):
+        u_seq, ok_seq = sf.solve_optimization(states[i], actions[i])
+        assert bool(batch_ok[i]) == bool(ok_seq), f'row {i}'
+        np.testing.assert_allclose(batch_u[i], np.atleast_1d(u_seq),
+                                   atol=5e-3)
+    import jax
+    if len(jax.devices()) >= 8:
+        from safe_control_gym_tpu.parallel.sharding import make_env_mesh
+        sf.shard_over(make_env_mesh(8, axis_name='data'))
+        states8 = np.tile(states, (2, 1)).astype(np.float32)
+        actions8 = np.tile(actions, (2, 1)).astype(np.float32)
+        sh_u, sh_ok = sf.certify_action_batch(states8, actions8)
+        np.testing.assert_allclose(sh_u[:4], batch_u, atol=5e-3)
+        assert (sh_ok[:4] == batch_ok).all()
+        sf._solve_mesh = None          # un-shard: module-scoped fixture
+        sf._solve_batch_jit = None
+
+
 def test_cbf_passthrough_when_safe(cbf_filter):
     c, s = cbf_filter.certify_action(np.zeros(4, np.float32),
                                      np.array([1.0]))
@@ -167,4 +198,12 @@ def test_cbf_nn_learns_residual():
     assert int(sfnn.buffer.state.count) > 0
     c, s = sfnn.certify_action(np.zeros(4, np.float32), np.array([0.5]))
     assert s
+    # Batched path uses the LEARNED residual terms and matches per-call.
+    states = np.stack([np.zeros(4), [0, 0, 0.2, 0.5]]).astype(np.float32)
+    acts = np.array([[0.5], [2.0]], np.float32)
+    bu, bok = sfnn.certify_action_batch(states, acts)
+    for i in range(2):
+        u_seq, ok_seq = sfnn.solve_optimization(states[i], acts[i])
+        assert bool(bok[i]) == bool(ok_seq)
+        np.testing.assert_allclose(bu[i], np.atleast_1d(u_seq), atol=5e-3)
     sfnn.close()

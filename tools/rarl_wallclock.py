@@ -15,6 +15,12 @@ import sys
 import time
 from functools import partial
 
+if '--cpu' in sys.argv:
+    # Must run before the first trace; the JAX_PLATFORMS env var does not
+    # work here (sitecustomize pins the axon plugin).
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+
 from safe_control_gym_tpu.utils.registration import get_config, make
 
 ENV_CFG = dict(seed=3, cost='rl_reward', normalized_rl_action_space=True,
