@@ -45,6 +45,25 @@ def test_quad3d_track_video(tmp_path):
     env.close()
 
 
+def test_cartpole_video(tmp_path):
+    """Cartpole render('rgb_array') frames feed save_video (role of the
+    reference's PyBullet camera capture, cartpole GUI path)."""
+    env = make('cartpole', seed=42, randomized_init=False,
+               init_state={'init_theta': 0.2}, ctrl_freq=15, pyb_freq=750,
+               episode_len_sec=2)
+    env.reset()
+    frames = []
+    for _ in range(4):
+        env.step(np.zeros(1, np.float32))
+        frames.append(env.render('rgb_array'))
+    assert frames[0].ndim == 3 and frames[0].shape[2] == 3
+    assert not np.array_equal(frames[0], frames[-1])
+    path = str(tmp_path / 'cartpole.gif')
+    save_video(path, frames, fps=10)
+    assert os.path.exists(path) and os.path.getsize(path) > 500
+    env.close()
+
+
 def test_quad2d_planar_video(tmp_path):
     """The planar systems keep the rasterized view and feed save_video."""
     env = make('quadrotor', quad_type=2, seed=42, ctrl_freq=50,
