@@ -357,6 +357,7 @@ class MPC(BaseController):
         self._solve_raw = solve
         self._solve_jit = jax.jit(solve)
         self._batch_solve = None
+        self._scenario_solve = None
 
     # -- batched / multi-chip solves -------------------------------------
     def shard_over(self, mesh, axis_name: str = 'data'):
@@ -416,6 +417,54 @@ class MPC(BaseController):
         scale = np.maximum(scale, float(np.max(np.abs(goal))))
         tol = self.feas_tol * (scale if self.feas_tol_relative
                                else np.ones_like(scale))
+        feasible = np.isfinite(res_np) & (res_np < tol)
+        return np.asarray(u0), feasible
+
+    def select_action_scenarios(self, obs, dynamics_params_batch,
+                                step: int = 0):
+        """Solve the SAME receding-horizon problem under B sampled
+        dynamics-parameter sets in ONE vmapped device program — the
+        scenario sweep primitive for domain-randomized / minimax robust
+        MPC (no reference equivalent: the reference would run one IPOPT
+        process per model).
+
+        Requires the parametric-dynamics hook ``dynamics_func_param``
+        (fd(x, u, params)); ``dynamics_params_batch`` is a pytree whose
+        leaves carry a leading scenario axis B, vmapped while the initial
+        state and reference are broadcast. Returns
+        ``(actions (B, nu), feasible (B,) bool)`` — one candidate action
+        per scenario; see examples/mpc/scenario_mpc_demo.py for a minimax
+        consensus rule over the candidates."""
+        assert getattr(self, 'dynamics_func_param', None) is not None, \
+            'select_action_scenarios requires dynamics_func_param'
+        nx, nu, T = self.model.nx, self.model.nu, self.T
+        obs_np = np.asarray(obs, np.float32)[:nx]
+        goal = self.get_references(step)
+        goal_j = jnp.asarray(goal.T, jnp.float32)
+        if self._scenario_solve is None:
+            solve = self._solve_raw
+            U_EQ = jnp.asarray(self.U_EQ, jnp.float32)
+            ms, mu = self._ms, self._mu
+            n_z, m_rows = self._n_z, self._m_rows
+
+            def solve_one(x0, g, dp):
+                X0 = jnp.tile(x0, (T + 1, 1))
+                U0 = jnp.tile(U_EQ, (T, 1))
+                z0 = jnp.zeros((n_z,), jnp.float32)
+                y0 = jnp.zeros((m_rows,), jnp.float32)
+                ts = jnp.zeros((T + 1, ms), jnp.float32)
+                tu = jnp.zeros((T, mu), jnp.float32)
+                X, U, z, y, res = solve(x0, g, X0, U0, z0, y0, ts, tu, dp)
+                return U[0], res
+
+            self._scenario_solve = jax.jit(
+                jax.vmap(solve_one, in_axes=(None, None, 0)))
+        dp_b = self._place_batched(dynamics_params_batch)
+        u0, res = self._scenario_solve(obs_np, goal_j, dp_b)
+        res_np = np.asarray(res)
+        scale = max(1.0, float(np.abs(obs_np).max()),
+                    float(np.max(np.abs(goal))))
+        tol = self.feas_tol * (scale if self.feas_tol_relative else 1.0)
         feasible = np.isfinite(res_np) & (res_np < tol)
         return np.asarray(u0), feasible
 
