@@ -291,7 +291,7 @@ class RAP(RARL):
             pickle.dump({'agent': self.agent.state_dict(),
                          'adversaries': [a.state_dict()
                                          for a in self.adversaries],
-                         'total_steps': self.total_steps}, f)
+                         **self._train_state_extras()}, f)
 
     def load(self, path):
         with open(path, 'rb') as f:
@@ -299,4 +299,4 @@ class RAP(RARL):
         self.agent.load_state_dict(state['agent'])
         for a, sd in zip(self.adversaries, state.get('adversaries', [])):
             a.load_state_dict(sd)
-        self.total_steps = int(state.get('total_steps', 0))
+        self._restore_extras(state)

@@ -341,6 +341,25 @@ class RARL(BaseController):
         return {'ep_returns': np.asarray(returns)}
 
     # ------------------------------------------------------------------
+    def _train_state_extras(self):
+        """PRNG + env-state snapshot for exact training resume (reference
+        rarl.py:122-141 saves random_state/env_random_state)."""
+        state = {'total_steps': self.total_steps, 'key': np.asarray(self._key)}
+        if self.training and self._env_states is not None:
+            state['env_states'] = jax.tree.map(np.asarray, self._env_states)
+            state['obs'] = np.asarray(self._obs)
+        return state
+
+    def _restore_extras(self, state):
+        self.total_steps = int(state.get('total_steps', 0))
+        if 'key' in state:
+            from safe_control_gym_tpu.utils.utils import restore_prng_key
+            self._key = restore_prng_key(state['key'])
+        if 'env_states' in state:
+            self._env_states = jax.tree.map(jnp.asarray,
+                                            state['env_states'])
+            self._obs = jnp.asarray(state['obs'])
+
     def save(self, path):
         if not path:
             return
@@ -348,7 +367,7 @@ class RARL(BaseController):
         with open(path, 'wb') as f:
             pickle.dump({'agent': self.agent.state_dict(),
                          'adversary': self.adversary.state_dict(),
-                         'total_steps': self.total_steps}, f)
+                         **self._train_state_extras()}, f)
 
     def load(self, path):
         with open(path, 'rb') as f:
@@ -356,4 +375,4 @@ class RARL(BaseController):
         self.agent.load_state_dict(state['agent'])
         if 'adversary' in state:
             self.adversary.load_state_dict(state['adversary'])
-        self.total_steps = int(state.get('total_steps', 0))
+        self._restore_extras(state)

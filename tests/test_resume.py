@@ -18,6 +18,46 @@ def _make_ppo(tmp, seed=0, max_steps=2000):
                    'mini_batch_size': 64, 'opt_epochs': 2, 'use_gae': True})
 
 
+def _make_rarl(tmp, seed=1, max_steps=512):
+    cfg = get_config('rarl')
+    env_func = partial(make, 'cartpole', seed=3, cost='rl_reward',
+                       normalized_rl_action_space=True, randomized_init=True,
+                       episode_len_sec=3, ctrl_freq=15, pyb_freq=750,
+                       adversary_disturbance='dynamics',
+                       adversary_disturbance_scale=1.0)
+    cfg.update(rollout_batch_size=4, rollout_steps=16, agent_iterations=1,
+               adversary_iterations=1, opt_epochs=2, mini_batch_size=32,
+               max_env_steps=max_steps, log_interval=0, checkpoint_path='')
+    return make('rarl', env_func, training=True, seed=seed,
+                output_dir=str(tmp), **cfg)
+
+
+def test_rarl_resume_matches_uninterrupted(tmp_path):
+    """Both agents + PRNG + env states restore for exact adversarial
+    training resume (reference rarl.py:122-158 random_state parity)."""
+    ctrl_a = _make_rarl(tmp_path / 'a', max_steps=512)
+    ctrl_a.reset()
+    ctrl_a.learn()
+
+    ctrl_b = _make_rarl(tmp_path / 'b', max_steps=256)
+    ctrl_b.reset()
+    ctrl_b.learn()
+    ckpt = str(tmp_path / 'rarl_ckpt.pt')
+    ctrl_b.save(ckpt)
+
+    ctrl_c = _make_rarl(tmp_path / 'c', seed=77, max_steps=512)
+    ctrl_c.load(ckpt)
+    ctrl_c.learn()
+
+    obs = np.full(4, 0.07, np.float32)
+    assert np.allclose(ctrl_a.select_action(obs), ctrl_c.select_action(obs),
+                       atol=1e-5)
+    assert np.allclose(ctrl_a.adversary.act(obs), ctrl_c.adversary.act(obs),
+                       atol=1e-5)
+    for c in (ctrl_a, ctrl_b, ctrl_c):
+        c.close()
+
+
 def test_ppo_resume_matches_uninterrupted(tmp_path):
     # Uninterrupted 4 iterations.
     ctrl_a = _make_ppo(tmp_path / 'a', max_steps=800)
