@@ -130,7 +130,13 @@ class PPOAgent:
         """Clipped surrogate + entropy + approx KL (ppo_utils.py:82-97)."""
         dist = actor_dist(actor_params, obs, self.activation)
         logp = dist.log_prob(act)
-        ratio = jnp.exp(logp - logp_old)
+        # Clamp the log-ratio before exp: off-policy actions (e.g. a safety
+        # layer projecting far outside the current policy) can push
+        # |logp - logp_old| past f32 exp overflow, turning one minibatch
+        # into inf loss -> NaN params. exp(+-20) bounds the ratio at ~5e8
+        # without affecting any normal-regime update (the KL gate rejects
+        # such steps anyway; this keeps the REJECTED step's grads finite).
+        ratio = jnp.exp(jnp.clip(logp - logp_old, -20.0, 20.0))
         clip_adv = jnp.clip(ratio, 1 - self.clip_param,
                             1 + self.clip_param) * adv
         policy_loss = -jnp.minimum(ratio * adv, clip_adv).mean()

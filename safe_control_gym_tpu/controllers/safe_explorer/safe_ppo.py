@@ -303,14 +303,21 @@ class SafeExplorerPPO(BaseController):
 
     # ------------------------------------------------------------------
     def save(self, path):
+        """Checkpoint incl. PRNG + env/constraint state for exact resume
+        (reference safe_ppo.py:124-143 random_state parity)."""
         if not path:
             return
         os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
+        state = {'agent': self.agent.state_dict(),
+                 'safety_layer': self.safety_layer.state_dict(),
+                 'total_steps': self.total_steps,
+                 'key': np.asarray(self._key)}
+        if self.training and self._env_states is not None:
+            state['env_states'] = jax.tree.map(np.asarray, self._env_states)
+            state['obs'] = np.asarray(self._obs)
+            state['c'] = np.asarray(self._c)
         with open(path, 'wb') as f:
-            pickle.dump({'agent': self.agent.state_dict(),
-                         'safety_layer': self.safety_layer.state_dict(),
-                         'total_steps': self.total_steps,
-                         'key': np.asarray(self._key)}, f)
+            pickle.dump(state, f)
 
     def load(self, path):
         with open(path, 'rb') as f:
@@ -318,6 +325,14 @@ class SafeExplorerPPO(BaseController):
         self.agent.load_state_dict(state['agent'])
         self.safety_layer.load_state_dict(state['safety_layer'])
         self.total_steps = int(state.get('total_steps', 0))
+        if 'key' in state:
+            from safe_control_gym_tpu.utils.utils import restore_prng_key
+            self._key = restore_prng_key(state['key'])
+        if 'env_states' in state:
+            self._env_states = jax.tree.map(jnp.asarray,
+                                            state['env_states'])
+            self._obs = jnp.asarray(state['obs'])
+            self._c = jnp.asarray(state['c'])
 
     def load_safety_layer(self, path):
         with open(path, 'rb') as f:

@@ -58,6 +58,48 @@ def test_rarl_resume_matches_uninterrupted(tmp_path):
         c.close()
 
 
+def _make_safe_ppo(tmp, seed=0, max_steps=512):
+    cfg = get_config('safe_explorer_ppo')
+    env_func = partial(make, 'cartpole', seed=7, cost='rl_reward',
+                       normalized_rl_action_space=True, randomized_init=True,
+                       episode_len_sec=3, ctrl_freq=15, pyb_freq=750,
+                       constraints=[{'constraint_form': 'abs_bound',
+                                     'constrained_variable': 'state',
+                                     'bound': [1.5, 2.0, 0.3, 2.0]}],
+                       done_on_violation=False, done_on_out_of_bound=False)
+    cfg.update(rollout_batch_size=4, rollout_steps=16, opt_epochs=2,
+               mini_batch_size=32, max_env_steps=max_steps,
+               pretraining=False, log_interval=0, checkpoint_path='')
+    return make('safe_explorer_ppo', env_func, training=True, seed=seed,
+                output_dir=str(tmp), **cfg)
+
+
+def test_safe_explorer_resume_matches_uninterrupted(tmp_path):
+    """PPO-phase resume is exact once the safety layer is fixed
+    (reference safe_ppo.py:124-165 random_state parity)."""
+    ctrl_a = _make_safe_ppo(tmp_path / 'a', max_steps=512)
+    ctrl_a.reset()
+    ctrl_a.learn()
+
+    ctrl_b = _make_safe_ppo(tmp_path / 'b', max_steps=256)
+    ctrl_b.reset()
+    ctrl_b.learn()
+    ckpt = str(tmp_path / 'se_ckpt.pt')
+    ctrl_b.save(ckpt)
+
+    ctrl_c = _make_safe_ppo(tmp_path / 'c', seed=55, max_steps=512)
+    ctrl_c.load(ckpt)
+    ctrl_c.learn()
+
+    obs = np.full(4, 0.04, np.float32)
+    nC = ctrl_a.num_constraints
+    a = ctrl_a.select_action(obs, {'constraint_values': np.zeros(nC)})
+    c = ctrl_c.select_action(obs, {'constraint_values': np.zeros(nC)})
+    assert np.allclose(a, c, atol=1e-5), (a, c)
+    for x in (ctrl_a, ctrl_b, ctrl_c):
+        x.close()
+
+
 def test_ppo_resume_matches_uninterrupted(tmp_path):
     # Uninterrupted 4 iterations.
     ctrl_a = _make_ppo(tmp_path / 'a', max_steps=800)
