@@ -235,7 +235,7 @@ class DDPG(BaseController):
                 for k, v in results.items():
                     self.logger.add_scalar(f'ddpg/{k}', v, self.total_steps)
                 self.logger.dump_scalars()
-        self.save(self.checkpoint_path)
+        self.save(self.checkpoint_path, save_buffer=True)
 
     def _make_eval_rollout(self, env, n_episodes):
         """Build (and cache) the jitted batched deterministic eval."""
@@ -283,20 +283,36 @@ class DDPG(BaseController):
         return {'ep_returns': np.asarray(ep_returns),
                 'ep_lengths': np.asarray(ep_lengths)}
 
-    def save(self, path):
+    def save(self, path, save_buffer=False):
+        """Checkpoint; ``save_buffer=True`` also snapshots the replay ring,
+        env states, and OU-noise state for exact off-policy resume
+        (reference ddpg.py save_buffer semantics)."""
         if not path:
             return
         os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
+        state = {'agent': self.agent.state_dict(),
+                 'total_steps': self.total_steps,
+                 'key': np.asarray(self._key)}
+        if self.training and self._env_states is not None:
+            state['env_states'] = jax.tree.map(np.asarray, self._env_states)
+            state['obs'] = np.asarray(self._obs)
+            state['ou_state'] = np.asarray(self._ou_state)
+            if save_buffer:
+                state['buffer'] = jax.tree.map(np.asarray, self.buffer)
         with open(path, 'wb') as f:
-            pickle.dump({'agent': self.agent.state_dict(),
-                         'total_steps': self.total_steps,
-                         'key': np.asarray(self._key)}, f)
+            pickle.dump(state, f)
 
     def load(self, path):
         with open(path, 'rb') as f:
             state = pickle.load(f)
         self.agent.load_state_dict(state['agent'])
         self.total_steps = int(state.get('total_steps', 0))
+        if 'env_states' in state:
+            self._env_states = jax.tree.map(jnp.asarray, state['env_states'])
+            self._obs = jnp.asarray(state['obs'])
+            self._ou_state = jnp.asarray(state['ou_state'])
+        if 'buffer' in state:
+            self.buffer = jax.tree.map(jnp.asarray, state['buffer'])
         if 'key' in state:
             from safe_control_gym_tpu.utils.utils import restore_prng_key
             self._key = restore_prng_key(state['key'])

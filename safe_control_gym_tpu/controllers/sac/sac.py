@@ -283,7 +283,9 @@ class SAC(BaseController):
                 if self.eval_save_best and er > best_eval:
                     best_eval = er
                     self.save(os.path.join(self.output_dir, 'model_best.pt'))
-        self.save(self.checkpoint_path)
+        # The final checkpoint carries the replay ring (reference sac.py:
+        # 'latest checkpoint should enable save_buffer').
+        self.save(self.checkpoint_path, save_buffer=True)
 
     def _make_eval_rollout(self, env, n_episodes):
         """Build (and cache) the jitted batched deterministic eval."""
@@ -336,7 +338,11 @@ class SAC(BaseController):
                 'ep_lengths': np.asarray(ep_lengths)}
 
     # ------------------------------------------------------------------
-    def save(self, path):
+    def save(self, path, save_buffer=False):
+        """Checkpoint; ``save_buffer=True`` (the final checkpoint) also
+        snapshots the replay ring + env states for exact off-policy resume
+        (reference sac.py save_buffer semantics — intermediate checkpoints
+        skip the buffer to save storage)."""
         if not path:
             return
         os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
@@ -345,6 +351,11 @@ class SAC(BaseController):
             'total_steps': self.total_steps,
             'key': np.asarray(self._key),
         }
+        if self.training and self._env_states is not None:
+            state['env_states'] = jax.tree.map(np.asarray, self._env_states)
+            state['obs'] = np.asarray(self._obs)
+            if save_buffer:
+                state['buffer'] = jax.tree.map(np.asarray, self.buffer)
         with open(path, 'wb') as f:
             pickle.dump(state, f)
 
@@ -353,6 +364,11 @@ class SAC(BaseController):
             state = pickle.load(f)
         self.agent.load_state_dict(state['agent'])
         self.total_steps = int(state.get('total_steps', 0))
+        if 'env_states' in state:
+            self._env_states = jax.tree.map(jnp.asarray, state['env_states'])
+            self._obs = jnp.asarray(state['obs'])
+        if 'buffer' in state:
+            self.buffer = jax.tree.map(jnp.asarray, state['buffer'])
         if 'key' in state:
             from safe_control_gym_tpu.utils.utils import restore_prng_key
             self._key = restore_prng_key(state['key'])

@@ -18,6 +18,80 @@ def _make_ppo(tmp, seed=0, max_steps=2000):
                    'mini_batch_size': 64, 'opt_epochs': 2, 'use_gae': True})
 
 
+def _make_sac(tmp, seed=0, max_steps=1200):
+    cfg = get_config('sac')
+    env_func = partial(make, 'cartpole', seed=0,
+                       normalized_rl_action_space=True)
+    cfg.update(max_env_steps=max_steps, warm_up_steps=300,
+               train_interval=100, train_batch_size=32,
+               rollout_batch_size=4, max_buffer_size=5000,
+               eval_interval=0, log_interval=0, save_interval=0,
+               checkpoint_path='')
+    return make('sac', env_func, training=True, seed=seed,
+                output_dir=str(tmp), **cfg)
+
+
+def test_sac_resume_matches_uninterrupted(tmp_path):
+    """save_buffer=True checkpoints restore the replay ring + env states +
+    PRNG so off-policy training resumes exactly (reference sac.py
+    save_buffer semantics)."""
+    ctrl_a = _make_sac(tmp_path / 'a', max_steps=1200)
+    ctrl_a.reset()
+    ctrl_a.learn()
+
+    ctrl_b = _make_sac(tmp_path / 'b', max_steps=600)
+    ctrl_b.reset()
+    ctrl_b.learn()
+    ckpt = str(tmp_path / 'sac_ckpt.pt')
+    ctrl_b.save(ckpt, save_buffer=True)
+
+    ctrl_c = _make_sac(tmp_path / 'c', seed=88, max_steps=1200)
+    ctrl_c.load(ckpt)
+    ctrl_c.learn()
+
+    obs = np.full(4, 0.06, np.float32)
+    a = ctrl_a.select_action(obs)
+    c = ctrl_c.select_action(obs)
+    assert np.allclose(a, c, atol=1e-5), (a, c)
+    for x in (ctrl_a, ctrl_b, ctrl_c):
+        x.close()
+
+
+def test_ddpg_resume_matches_uninterrupted(tmp_path):
+    """Same save_buffer contract for DDPG incl. the OU-noise state."""
+    def mk(tmp, seed=0, max_steps=1200):
+        cfg = get_config('ddpg')
+        env_func = partial(make, 'cartpole', seed=0,
+                           normalized_rl_action_space=True)
+        cfg.update(max_env_steps=max_steps, warm_up_steps=300,
+                   train_interval=100, train_batch_size=32,
+                   rollout_batch_size=4, max_buffer_size=5000,
+                   eval_interval=0, log_interval=0, save_interval=0,
+                   checkpoint_path='')
+        return make('ddpg', env_func, training=True, seed=seed,
+                    output_dir=str(tmp), **cfg)
+
+    ctrl_a = mk(tmp_path / 'a', max_steps=1200)
+    ctrl_a.reset()
+    ctrl_a.learn()
+
+    ctrl_b = mk(tmp_path / 'b', max_steps=600)
+    ctrl_b.reset()
+    ctrl_b.learn()
+    ckpt = str(tmp_path / 'ddpg_ckpt.pt')
+    ctrl_b.save(ckpt, save_buffer=True)
+
+    ctrl_c = mk(tmp_path / 'c', seed=88, max_steps=1200)
+    ctrl_c.load(ckpt)
+    ctrl_c.learn()
+
+    obs = np.full(4, 0.06, np.float32)
+    assert np.allclose(ctrl_a.select_action(obs), ctrl_c.select_action(obs),
+                       atol=1e-5)
+    for x in (ctrl_a, ctrl_b, ctrl_c):
+        x.close()
+
+
 def _make_rarl(tmp, seed=1, max_steps=512):
     cfg = get_config('rarl')
     env_func = partial(make, 'cartpole', seed=3, cost='rl_reward',
