@@ -582,7 +582,8 @@ class MPC(BaseController):
         round-trips per control step and make pjit cache a second
         executable for the mixed committed/uncommitted argument set."""
         cached = getattr(self, '_zero_tightening', None)
-        if cached is None or cached[0].shape != (self.T + 1, self._ms):
+        if (cached is None or cached[0].shape != (self.T + 1, self._ms)
+                or cached[1].shape != (self.T, self._mu)):
             cached = (np.zeros((self.T + 1, self._ms), np.float32),
                       np.zeros((self.T, self._mu), np.float32))
             self._zero_tightening = cached

@@ -218,6 +218,10 @@ class RAP(RARL):
             self._learn_fused(max_env_steps, steps_per_iter, fused_k)
             return
         mean_rew = 0.0
+        # Same freeze semantics as the fused path, so a config trains
+        # identically regardless of fused_iterations.
+        train_prot = bool(getattr(self, 'train_protagonist', True))
+        train_adv = bool(getattr(self, 'train_adversary', True))
         while self.total_steps < max_env_steps:
             for _ in range(int(self.agent_iterations)):
                 if self.total_steps >= max_env_steps:
@@ -227,7 +231,8 @@ class RAP(RARL):
                  mean_rew) = self._pop_rollout_jit(
                     self.agent.params, self._stacked_adv_params(), assign,
                     self._env_states, self._obs, self._next_key())
-                self.agent.update(p_batch, self._next_key())
+                if train_prot:
+                    self.agent.update(p_batch, self._next_key())
                 self.total_steps += steps_per_iter
             for _ in range(int(self.adversary_iterations)):
                 if self.total_steps >= max_env_steps:
@@ -237,14 +242,16 @@ class RAP(RARL):
                  mean_rew) = self._pop_rollout_jit(
                     self.agent.params, self._stacked_adv_params(), assign,
                     self._env_states, self._obs, self._next_key())
-                assign_np = np.asarray(assign)
-                for k, adversary in enumerate(self.adversaries):
-                    idx = np.where(assign_np == k)[0]
-                    batch_k = {name: np.asarray(v[:, idx]).reshape(
-                        self.T * len(idx), -1)
-                        for name, v in a_data.items()}
-                    batch_k = {name: jnp.asarray(v) for name, v in batch_k.items()}
-                    adversary.update(batch_k, self._next_key())
+                if train_adv:
+                    assign_np = np.asarray(assign)
+                    for k, adversary in enumerate(self.adversaries):
+                        idx = np.where(assign_np == k)[0]
+                        batch_k = {name: np.asarray(v[:, idx]).reshape(
+                            self.T * len(idx), -1)
+                            for name, v in a_data.items()}
+                        batch_k = {name: jnp.asarray(v)
+                                   for name, v in batch_k.items()}
+                        adversary.update(batch_k, self._next_key())
                 self.total_steps += steps_per_iter
             if self.log_interval:
                 self.logger.add_scalar('rap/mean_reward', float(mean_rew),
@@ -260,27 +267,37 @@ class RAP(RARL):
         train_prot = bool(getattr(self, 'train_protagonist', True))
         train_adv = bool(getattr(self, 'train_adversary', True))
         steps_per_cycle = (n_p + n_a) * steps_per_iter
+        # Stack the population ONCE and keep the stacked pytrees as the
+        # loop carry — restacking params + both Adam moments per dispatch
+        # paid A x per-leaf stack/slice on the single-core host.
+        apS = stack([a.params for a in self.adversaries])
+        aaS = stack([a.actor_opt_state for a in self.adversaries])
+        acS = stack([a.critic_opt_state for a in self.adversaries])
+        pp = self.agent.params
+        pa = self.agent.actor_opt_state
+        pc = self.agent.critic_opt_state
         while self.total_steps < max_env_steps:
-            apS = stack([a.params for a in self.adversaries])
-            aaS = stack([a.actor_opt_state for a in self.adversaries])
-            acS = stack([a.critic_opt_state for a in self.adversaries])
+            # Cap the final dispatch: fused trains the same budget as
+            # non-fused (to cycle granularity) instead of overshooting by
+            # up to a full fused block; at most one extra compile.
+            remaining = max_env_steps - self.total_steps
+            k_this = min(fused_k, max(1, -(-remaining // steps_per_cycle)))
             ((pp, pa, pc, apS, aaS, acS, self._env_states, self._obs),
              mean_rew) = self._pop_fused_jit(
-                self.agent.params, self.agent.actor_opt_state,
-                self.agent.critic_opt_state, apS, aaS, acS,
+                pp, pa, pc, apS, aaS, acS,
                 self._env_states, self._obs, self._next_key(),
-                fused_k, n_p, n_a, train_prot, train_adv)
-            (self.agent.params, self.agent.actor_opt_state,
-             self.agent.critic_opt_state) = pp, pa, pc
-            for i, adv in enumerate(self.adversaries):
-                adv.params = jax.tree.map(lambda x: x[i], apS)
-                adv.actor_opt_state = jax.tree.map(lambda x: x[i], aaS)
-                adv.critic_opt_state = jax.tree.map(lambda x: x[i], acS)
-            self.total_steps += steps_per_cycle * fused_k
+                k_this, n_p, n_a, train_prot, train_adv)
+            self.total_steps += steps_per_cycle * k_this
             if self.log_interval:
                 self.logger.add_scalar('rap/mean_reward', float(mean_rew),
                                        self.total_steps)
                 self.logger.dump_scalars()
+        (self.agent.params, self.agent.actor_opt_state,
+         self.agent.critic_opt_state) = pp, pa, pc
+        for i, adv in enumerate(self.adversaries):
+            adv.params = jax.tree.map(lambda x, i=i: x[i], apS)
+            adv.actor_opt_state = jax.tree.map(lambda x, i=i: x[i], aaS)
+            adv.critic_opt_state = jax.tree.map(lambda x, i=i: x[i], acS)
         self.save(self.checkpoint_path)
 
     def save(self, path):

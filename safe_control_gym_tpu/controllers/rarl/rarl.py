@@ -276,19 +276,26 @@ class RARL(BaseController):
             n_a = int(self.adversary_iterations)
             steps_per_cycle = (n_p + n_a) * steps_per_iter
             while self.total_steps < max_env_steps:
+                # Cap the final dispatch so fused runs train the same
+                # budget as non-fused (to cycle granularity) instead of
+                # overshooting by up to a full fused block; a smaller K
+                # recompiles at most once, on the last block.
+                remaining = max_env_steps - self.total_steps
+                k_this = min(fused_k,
+                             max(1, -(-remaining // steps_per_cycle)))
                 ((pp, pa, pc, ap, aa, ac, self._env_states, self._obs),
                  mean_rew) = self._fused_jit(
                     self.agent.params, self.agent.actor_opt_state,
                     self.agent.critic_opt_state, self.adversary.params,
                     self.adversary.actor_opt_state,
                     self.adversary.critic_opt_state, self._env_states,
-                    self._obs, self._next_key(), fused_k, n_p, n_a,
+                    self._obs, self._next_key(), k_this, n_p, n_a,
                     train_prot, train_adv)
                 (self.agent.params, self.agent.actor_opt_state,
                  self.agent.critic_opt_state) = pp, pa, pc
                 (self.adversary.params, self.adversary.actor_opt_state,
                  self.adversary.critic_opt_state) = ap, aa, ac
-                self.total_steps += steps_per_cycle * fused_k
+                self.total_steps += steps_per_cycle * k_this
                 if self.log_interval:
                     self.logger.add_scalar('rarl/mean_reward',
                                            float(mean_rew), self.total_steps)
