@@ -40,6 +40,39 @@ from safe_control_gym_tpu.utils.utils import is_wrapped, munchify
 __all__ = ['BaseExperiment', 'RecordDataWrapper', 'MetricExtractor']
 
 
+class _ResultsTape:
+    """Collects per-run snapshots of the controller's (and optionally the
+    safety filter's) ``results_dict``.
+
+    One snapshot is taken at every episode boundary — and once more when a
+    step budget runs out mid-episode — so each key in the tape holds a list
+    with one numpy copy per run, matching the ``controller_data`` /
+    ``safety_filter_data`` layout downstream analysis expects
+    (reference base_experiment.py:159-163, 208-213).
+    """
+
+    def __init__(self, ctrl, safety_filter=None):
+        self._sources = {'controller_data': ctrl}
+        if safety_filter is not None:
+            self._sources['safety_filter_data'] = safety_filter
+        self._tapes = {name: defaultdict(list) for name in self._sources}
+        self.enabled = False  # the very first reset precedes any run
+
+    def snapshot(self):
+        if not self.enabled:
+            return
+        for name, source in self._sources.items():
+            tape = self._tapes[name]
+            for key, val in source.results_dict.items():
+                tape[key].append(np.array(deepcopy(val)))
+
+    def attach(self, trajs_data):
+        """Merge the recorded tapes into the trajectory-data dict."""
+        for name, tape in self._tapes.items():
+            trajs_data[name] = munchify(dict(tape))
+        return munchify(trajs_data)
+
+
 class BaseExperiment:
     """Generic experiment class running evaluations + collecting metrics."""
 
@@ -56,11 +89,24 @@ class BaseExperiment:
         if train_env is not None and not is_wrapped(self.train_env, RecordDataWrapper):
             self.train_env = RecordDataWrapper(self.train_env)
         self.safety_filter = safety_filter
+        # Real-time pacing state for GUI evaluation
+        # (reference base_experiment.py:57,185-192).
+        self.visualization_time_multiplier = 1
+        self._last_step_wall = None
 
     def run_evaluation(self, training=False, n_episodes=None, n_steps=None,
                        done_on_max_steps=None, log_freq=None, verbose=True,
-                       **kwargs):
-        """Evaluate a trained controller (base_experiment.py:49-89)."""
+                       visualization_time_multiplier=1, **kwargs):
+        """Evaluate a trained controller (base_experiment.py:49-89).
+
+        Args:
+            visualization_time_multiplier (float): pacing for GUI runs — 1
+                is realtime, 2 twice realtime, ...; None runs unpaced
+                (reference base_experiment.py:57,64-66). Only applies when
+                the env was built with ``gui=True``.
+        """
+        self.visualization_time_multiplier = visualization_time_multiplier
+        self._last_step_wall = None
         if not training:
             self.reset()
         trajs_data = self._execute_evaluations(
@@ -79,72 +125,70 @@ class BaseExperiment:
 
     def _execute_evaluations(self, n_episodes=None, n_steps=None,
                              done_on_max_steps=None, log_freq=None, seeds=None):
-        """Run rollouts and collect data (base_experiment.py:90-165)."""
+        """Run rollouts until the episode or step budget is exhausted.
+
+        Single unified loop over control steps; episode-boundary and
+        budget-exhaustion bookkeeping live in the two ``_on_*`` handlers
+        below, with all results_dict snapshotting delegated to one
+        ``_ResultsTape``. Covers the role of reference
+        base_experiment.py:90-165 (n_episodes XOR n_steps budgets, the
+        log_freq sub-step loop, the reference's budget-counter reset on
+        episode end) with a seed-plumbing fix: episode seeds are applied
+        to every reset, not only the first.
+        """
         if n_episodes is None and n_steps is None:
             raise ValueError('One of n_episodes or n_steps must be defined.')
         if n_episodes is not None and n_steps is not None:
             raise ValueError('Only one of n_episodes or n_steps can be defined.')
         if seeds is not None:
             assert len(seeds) == n_episodes, 'Number of seeds must match the number of episodes'
+
         sim_steps = log_freq // self.env.CTRL_FREQ if log_freq else 1
-        steps, trajs = 0, 0
-        seed = seeds[0] if seeds is not None else None
-        obs, info = self._evaluation_reset(ctrl_data=None, sf_data=None, seed=seed)
-        ctrl_data = defaultdict(list)
-        sf_data = defaultdict(list)
+        self._tape = _ResultsTape(self.ctrl, self.safety_filter)
+        self._episode_steps = 0   # steps since the last reset/done
+        self._episodes_done = 0
+        self._seeds = seeds
+        obs, info = self._evaluation_reset(seed=seeds[0] if seeds is not None else None)
+        self._tape.enabled = True
 
-        if n_episodes is not None:
-            while trajs < n_episodes:
-                action = self._select_action(obs=obs, info=info)
-                for _ in range(sim_steps):
-                    steps += 1
-                    obs, _, done, info = self.env.step(action)
-                    if done_on_max_steps:
-                        done = done and steps >= self.MAX_STEPS
-                    if done:
-                        trajs += 1
-                        steps = 0
-                        if trajs < n_episodes and seeds is not None:
-                            seed = seeds[trajs]
-                        else:
-                            seed = None
-                        self.env.save_data()
-                        obs, info = self._evaluation_reset(
-                            ctrl_data=ctrl_data, sf_data=sf_data, seed=seed)
-                        break
-        else:
-            while steps < n_steps:
-                action = self._select_action(obs=obs, info=info)
-                for _ in range(sim_steps):
-                    steps += 1
-                    obs, _, done, info = self.env.step(action)
-                    if steps >= n_steps:
-                        self.env.save_data()
-                        for k, v in self.ctrl.results_dict.items():
-                            ctrl_data[k].append(np.array(deepcopy(v)))
-                        if self.safety_filter is not None:
-                            for k, v in self.safety_filter.results_dict.items():
-                                sf_data[k].append(np.array(deepcopy(v)))
-                        break
-                    if done_on_max_steps:
-                        done = done and steps >= self.MAX_STEPS
-                    if done:
-                        steps = 0
-                        self.env.save_data()
-                        obs, info = self._evaluation_reset(
-                            ctrl_data=ctrl_data, sf_data=sf_data)
-                        break
+        budget_left = (lambda: self._episodes_done < n_episodes) if n_episodes is not None \
+            else (lambda: self._episode_steps < n_steps)
+        while budget_left():
+            action = self._select_action(obs=obs, info=info)
+            # Sub-step loop: one logged control step per log_freq tick.
+            for _ in range(sim_steps):
+                self._episode_steps += 1
+                obs, _, done, info = self.env.step(action)
+                if n_steps is not None and self._episode_steps >= n_steps:
+                    # Step budget exhausted mid-episode: close out the data
+                    # without resetting (reference :146-152 semantics).
+                    self.env.save_data()
+                    self._tape.snapshot()
+                    break
+                if done_on_max_steps:
+                    done = done and self._episode_steps >= self.MAX_STEPS
+                if done:
+                    obs, info = self._on_episode_end(n_episodes)
+                    break
 
-        trajs_data = self.env.data
-        trajs_data['controller_data'] = munchify(dict(ctrl_data))
-        if self.safety_filter is not None:
-            trajs_data['safety_filter_data'] = munchify(dict(sf_data))
-        return munchify(trajs_data)
+        return self._tape.attach(self.env.data)
+
+    def _on_episode_end(self, n_episodes):
+        """Roll the episode data, pick the next seed, reset everything."""
+        self._episodes_done += 1
+        self._episode_steps = 0
+        self.env.save_data()
+        next_seed = None
+        if self._seeds is not None and n_episodes is not None \
+                and self._episodes_done < n_episodes:
+            next_seed = self._seeds[self._episodes_done]
+        return self._evaluation_reset(seed=next_seed)
 
     def _select_action(self, obs, info):
         """Controller action, optionally certified by the safety filter
         (base_experiment.py:167-194): denormalize -> certify on obs[:nx] ->
-        renormalize."""
+        renormalize. GUI runs are paced to
+        ``visualization_time_multiplier`` x realtime (reference :185-192)."""
         action = self.ctrl.select_action(obs, info)
         if self.safety_filter is not None:
             physical_action = self.env.denormalize_action(action)
@@ -153,17 +197,28 @@ class BaseExperiment:
                 unextended_obs, physical_action, info)
             if success:
                 action = self.env.normalize_action(certified_action)
+        self._pace_visualization()
         return action
 
-    def _evaluation_reset(self, ctrl_data, sf_data, seed=None):
-        """Reset between runs (base_experiment.py:196-219)."""
+    def _pace_visualization(self):
+        """Sleep so GUI evaluation advances at k-by-realtime; no-op for
+        headless envs or ``visualization_time_multiplier=None``."""
+        mult = self.visualization_time_multiplier
+        now = time.time()
+        if self._last_step_wall is not None \
+                and getattr(self.env, 'GUI', False) is True and mult is not None:
+            elapsed = now - self._last_step_wall
+            time.sleep(max(0.0, 1.0 / self.env.CTRL_FREQ / mult - elapsed))
+            now = time.time()
+        self._last_step_wall = now
+
+    def _evaluation_reset(self, seed=None):
+        """Snapshot results, then reset env + controller + filter between
+        runs (base_experiment.py:196-219)."""
+        tape = getattr(self, '_tape', None)
+        if tape is not None:
+            tape.snapshot()
         obs, info = self.env.reset(seed=seed)
-        if ctrl_data is not None:
-            for k, v in self.ctrl.results_dict.items():
-                ctrl_data[k].append(np.array(deepcopy(v)))
-        if sf_data is not None and self.safety_filter is not None:
-            for k, v in self.safety_filter.results_dict.items():
-                sf_data[k].append(np.array(deepcopy(v)))
         self.ctrl.reset_before_run(obs, info, env=self.env)
         if self.safety_filter is not None:
             self.safety_filter.reset_before_run(env=self.env)

@@ -108,3 +108,44 @@ def test_experiment_with_seeds():
     data2, m2 = exp.run_evaluation(n_episodes=2, seeds=[7, 8], verbose=False)
     assert np.allclose(data1['obs'][0], data2['obs'][0])
     exp.close()
+
+
+def test_visualization_time_multiplier_pacing(monkeypatch):
+    """run_evaluation's visualization_time_multiplier round-trips and paces
+    GUI runs at k-by-realtime (reference base_experiment.py:57,185-192):
+    with gui=True each control step sleeps toward 1/CTRL_FREQ/k; with
+    multiplier=None (or a headless env) no pacing sleep happens."""
+    import safe_control_gym_tpu.experiments.base_experiment as be
+
+    env_func = partial(make, 'cartpole', seed=5, cost='quadratic',
+                       task='traj_tracking', ctrl_freq=15, pyb_freq=750,
+                       episode_len_sec=2, randomized_init=False, gui=True)
+    ctrl = make('lqr', env_func, q_lqr=[1], r_lqr=[0.1])
+    exp = BaseExperiment(env_func(), ctrl)
+    sleeps = []
+    monkeypatch.setattr(be.time, 'sleep', lambda s: sleeps.append(s))
+
+    exp.run_evaluation(n_steps=5, visualization_time_multiplier=2, verbose=False)
+    assert exp.visualization_time_multiplier == 2
+    # One pacing sleep per select_action after the first; budget ceiling
+    # is 1/CTRL_FREQ/mult.
+    assert len(sleeps) >= 3
+    assert all(0.0 <= s <= 1.0 / 15 / 2 + 1e-9 for s in sleeps)
+
+    sleeps.clear()
+    exp.run_evaluation(n_steps=5, visualization_time_multiplier=None,
+                       verbose=False)
+    assert sleeps == []
+    exp.close()
+
+    # Headless env (gui=False, the default): never paced.
+    env_func2 = partial(make, 'cartpole', seed=5, cost='quadratic',
+                        task='traj_tracking', ctrl_freq=15, pyb_freq=750,
+                        episode_len_sec=2, randomized_init=False)
+    ctrl2 = make('lqr', env_func2, q_lqr=[1], r_lqr=[0.1])
+    exp2 = BaseExperiment(env_func2(), ctrl2)
+    sleeps.clear()
+    exp2.run_evaluation(n_steps=5, visualization_time_multiplier=1,
+                        verbose=False)
+    assert sleeps == []
+    exp2.close()
