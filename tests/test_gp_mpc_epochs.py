@@ -14,6 +14,8 @@ import pytest
 
 from safe_control_gym_tpu.utils.registration import make
 
+pytestmark = pytest.mark.slow  # multi-epoch GP training: ~minutes per test
+
 CFG = dict(seed=42, cost='quadratic', ctrl_freq=10, pyb_freq=500,
            episode_len_sec=2, randomized_init=False,
            init_state={'init_theta': 0.1},

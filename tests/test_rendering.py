@@ -5,9 +5,12 @@ save_video — role parity with the reference's PyBullet camera recording
 import os
 
 import numpy as np
+import pytest
 
 from safe_control_gym_tpu.utils.registration import make
 from safe_control_gym_tpu.utils.utils import save_video
+
+pytestmark = pytest.mark.slow  # frame rendering + gif encoding
 
 
 def test_quad3d_track_video(tmp_path):

@@ -5,8 +5,11 @@ training, ppo.py:112-148)."""
 from functools import partial
 
 import numpy as np
+import pytest
 
 from safe_control_gym_tpu.utils.registration import get_config, make
+
+pytestmark = pytest.mark.slow  # trains every controller twice (resume matrix)
 
 
 def _make_ppo(tmp, seed=0, max_steps=2000):
