@@ -12,9 +12,10 @@ the final device_get. Long scans amortize the remote-dispatch tunnel
 (8192 steps for the cartpole headline; 4096 for the quadrotors to keep
 the full suite ~5 min).
 
-Prints ONE JSON line PER SYSTEM — cartpole (the headline metric) first,
-then quadrotor 2D and 3D:
-{"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line PER SYSTEM x CONFIGURATION (6 lines): cartpole (the
+headline metric) first, then quadrotor 2D and 3D, each in the plain and
+the "with constraints & disturbances" configuration of the reference's
+README table: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
@@ -55,33 +56,39 @@ except Exception:
 N_ENVS = 4096
 CTRL_FREQ = 50
 
-# (system id, timed scan length, timed reps, reference speed-up row)
-# cartpole: README.md:182; quadrotor: README.md:188 (the reference's only
-# quadrotor row — 2D; reused as the 3D baseline for lack of a published
-# 3D number).
+# (system id, constrained+disturbed, timed scan length, timed reps,
+#  reference speed-up row). Plain rows: README.md:182 (cartpole 24.73x) /
+# :188 (quadrotor 9.28x). Constrained rows — "with constraints &
+# disturbances" — README.md:183 (22.39x) / :189 (7.62x). The reference
+# publishes no 3D row; its 2D numbers are reused as the 3D baseline.
 SYSTEMS = [
-    ('cartpole', 8192, 5, 24.73),
-    ('quadrotor_2D', 4096, 3, 9.28),
-    ('quadrotor_3D', 4096, 3, 9.28),
+    ('cartpole', False, 8192, 5, 24.73),
+    ('cartpole', True, 8192, 3, 22.39),
+    ('quadrotor_2D', False, 4096, 3, 9.28),
+    ('quadrotor_2D', True, 4096, 2, 7.62),
+    ('quadrotor_3D', False, 4096, 3, 9.28),
+    ('quadrotor_3D', True, 4096, 2, 7.62),
 ]
 
 
 def main():
     from safe_control_gym_tpu.experiments.benchmark_suite import \
         measure_batched
-    for system, n_steps, n_reps, ref_speedup in SYSTEMS:
+    for system, constrained, n_steps, n_reps, ref_speedup in SYSTEMS:
         suite_id = 'quadrotor' if system == 'quadrotor_2D' else system
         if BACKEND == 'cpu-fallback':
             n_steps, n_reps = 256, 1  # keep the fallback run bounded
         _, steps_per_sec = measure_batched(
-            suite_id, constrained=False, batch=N_ENVS, n_steps=n_steps,
+            suite_id, constrained=constrained, batch=N_ENVS, n_steps=n_steps,
             n_reps=n_reps)
         ref_sps = ref_speedup * CTRL_FREQ
         label = ('env steps/sec/chip' if BACKEND == 'tpu'
                  else 'env steps/sec (CPU FALLBACK - TPU unreachable)')
+        workload = ('constraints+disturbances, random actions' if constrained
+                    else 'random actions')
         print(json.dumps({
             'metric': (f'{system} {label} ({N_ENVS} envs, '
-                       'ctrl 50Hz / pyb 1000Hz, random actions)'),
+                       f'ctrl 50Hz / pyb 1000Hz, {workload})'),
             'value': round(steps_per_sec, 1),
             'unit': 'ctrl steps/s',
             'vs_baseline': round(steps_per_sec / ref_sps, 1),

@@ -64,7 +64,7 @@ def _env_kwargs(system, constrained):
                   task_info={'stabilization_goal': [0, 0, 1],
                              'stabilization_goal_tolerance': 0.0})
     if constrained:
-        kw.update(constraints=CONSTRAINTS[system],
+        kw.update(constraints=CONSTRAINTS[system.replace('_3D', '')],
                   disturbances=DISTURBANCES)
     return kw
 
