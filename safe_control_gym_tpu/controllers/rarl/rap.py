@@ -276,28 +276,40 @@ class RAP(RARL):
         pp = self.agent.params
         pa = self.agent.actor_opt_state
         pc = self.agent.critic_opt_state
-        while self.total_steps < max_env_steps:
-            # Cap the final dispatch: fused trains the same budget as
-            # non-fused (to cycle granularity) instead of overshooting by
-            # up to a full fused block; at most one extra compile.
-            remaining = max_env_steps - self.total_steps
-            k_this = min(fused_k, max(1, -(-remaining // steps_per_cycle)))
-            ((pp, pa, pc, apS, aaS, acS, self._env_states, self._obs),
-             mean_rew) = self._pop_fused_jit(
-                pp, pa, pc, apS, aaS, acS,
-                self._env_states, self._obs, self._next_key(),
-                k_this, n_p, n_a, train_prot, train_adv)
-            self.total_steps += steps_per_cycle * k_this
-            if self.log_interval:
-                self.logger.add_scalar('rap/mean_reward', float(mean_rew),
-                                       self.total_steps)
-                self.logger.dump_scalars()
-        (self.agent.params, self.agent.actor_opt_state,
-         self.agent.critic_opt_state) = pp, pa, pc
-        for i, adv in enumerate(self.adversaries):
-            adv.params = jax.tree.map(lambda x, i=i: x[i], apS)
-            adv.actor_opt_state = jax.tree.map(lambda x, i=i: x[i], aaS)
-            adv.critic_opt_state = jax.tree.map(lambda x, i=i: x[i], acS)
+        try:
+            while self.total_steps < max_env_steps:
+                # Tail handling: a smaller K is a different static shape and
+                # recompiles (minutes through the remote-compile tunnel), so
+                # only shrink the last dispatch when that saves at least half
+                # a fused block of training; otherwise accept an overshoot of
+                # < fused_k/2 cycles. Residual: fused total_steps can exceed
+                # non-fused (which stops at iteration granularity) by up to
+                # that overshoot.
+                remaining = max_env_steps - self.total_steps
+                k_needed = max(1, -(-remaining // steps_per_cycle))
+                k_this = k_needed if k_needed <= fused_k // 2 else fused_k
+                ((pp, pa, pc, apS, aaS, acS, self._env_states, self._obs),
+                 mean_rew) = self._pop_fused_jit(
+                    pp, pa, pc, apS, aaS, acS,
+                    self._env_states, self._obs, self._next_key(),
+                    k_this, n_p, n_a, train_prot, train_adv)
+                self.total_steps += steps_per_cycle * k_this
+                if self.log_interval:
+                    self.logger.add_scalar('rap/mean_reward', float(mean_rew),
+                                           self.total_steps)
+                    self.logger.dump_scalars()
+        finally:
+            # Sync device-side carries back onto the agent/adversaries even
+            # when the loop is interrupted (KeyboardInterrupt, device error):
+            # total_steps/_env_states have already advanced, so an exception
+            # path that skipped this would leave save()/eval checkpointing
+            # stale initial params against an advanced counter.
+            (self.agent.params, self.agent.actor_opt_state,
+             self.agent.critic_opt_state) = pp, pa, pc
+            for i, adv in enumerate(self.adversaries):
+                adv.params = jax.tree.map(lambda x, i=i: x[i], apS)
+                adv.actor_opt_state = jax.tree.map(lambda x, i=i: x[i], aaS)
+                adv.critic_opt_state = jax.tree.map(lambda x, i=i: x[i], acS)
         self.save(self.checkpoint_path)
 
     def save(self, path):

@@ -276,13 +276,18 @@ class RARL(BaseController):
             n_a = int(self.adversary_iterations)
             steps_per_cycle = (n_p + n_a) * steps_per_iter
             while self.total_steps < max_env_steps:
-                # Cap the final dispatch so fused runs train the same
-                # budget as non-fused (to cycle granularity) instead of
-                # overshooting by up to a full fused block; a smaller K
-                # recompiles at most once, on the last block.
+                # Tail handling: a smaller K is a different static shape
+                # and recompiles (minutes through the remote-compile
+                # tunnel), so only shrink the last dispatch when that
+                # saves at least half a fused block of training;
+                # otherwise accept an overshoot of < fused_k/2 cycles.
+                # Residual: fused total_steps can exceed non-fused (which
+                # stops at iteration granularity) by up to that overshoot,
+                # so checkpoints across the two modes may disagree on
+                # total_steps for the same max_env_steps.
                 remaining = max_env_steps - self.total_steps
-                k_this = min(fused_k,
-                             max(1, -(-remaining // steps_per_cycle)))
+                k_needed = max(1, -(-remaining // steps_per_cycle))
+                k_this = k_needed if k_needed <= fused_k // 2 else fused_k
                 ((pp, pa, pc, ap, aa, ac, self._env_states, self._obs),
                  mean_rew) = self._fused_jit(
                     self.agent.params, self.agent.actor_opt_state,
