@@ -77,6 +77,12 @@ class HPO:
         # native fast path); any other name is a MetricExtractor metric key
         # evaluated per repetition (the reference's
         # ``metrics[objective[0]]``, hpo.py:139).
+        # Population-batched trial evaluation (hyperparameters/population.py):
+        # vectorized_trials=B scores B trials per round in ONE vmapped
+        # device program. PPO + scalar 'return' objective only; pruning
+        # does not apply (no per-repetition host round-trips to prune at).
+        self.vectorized_trials = int(self.hpo_config.get('vectorized_trials',
+                                                         0))
         obj = self.hpo_config.get('objective', ['return'])
         dirs = self.hpo_config.get('direction', ['maximize'])
         self.objectives = [obj] if isinstance(obj, str) else list(obj)
@@ -238,10 +244,101 @@ class HPO:
         return scores if multi else scores[0]
 
     # ------------------------------------------------------------------
+    def _optimize_vectorized(self):
+        """TPE ask/tell in rounds of B, each round scored by ONE vmapped
+        train+eval program (population.py). Repetitions are extra vmap
+        lanes; per-trial score = CVaR over all (repetitions x n_episodes)
+        episode returns, exactly like the sequential 'return' fast path.
+        Trials sharing a round only see history from earlier rounds (the
+        usual batched-ask TPE trade-off). Structural hyperparameters
+        (hidden_dim, rollout_steps, ...) shape the program, so trials are
+        grouped by them — restrict ``hps_config`` to the numeric
+        hyperparameters to keep a study on one compiled executable."""
+        import time as _time
+
+        import jax
+
+        from safe_control_gym_tpu.hyperparameters.population import (
+            VECTOR_HPS, make_population_ppo_evaluator, split_suggestion)
+        assert self.algo == 'ppo', \
+            'vectorized_trials currently implements PPO'
+        assert self.objectives == ['return'] and len(self.directions) == 1, \
+            'vectorized_trials requires the scalar return objective'
+        sampler_fn = HYPERPARAMS_SAMPLER[self.algo]
+        env_func = partial(make, self.task, seed=0, **self.task_config)
+        evaluators = {}
+        R = max(1, self.n_repetitions)
+        remaining = self.n_trials
+        while remaining > 0:
+            b = min(self.vectorized_trials, remaining)
+            remaining -= b
+            trials = [self.study.ask() for _ in range(b)]
+            groups = {}
+            for t in trials:
+                vec, struct = split_suggestion(sampler_fn(self.hps_config,
+                                                          t))
+                groups.setdefault(tuple(sorted(struct.items())),
+                                  []).append((t, vec))
+            for skey, members in groups.items():
+                cfg = {**self.algo_config, **dict(skey)}
+                N = max(1, int(cfg.get('rollout_batch_size', 32)))
+                T = max(1, int(cfg.get('rollout_steps', 64)))
+                iters = max(1, int(cfg.get('max_env_steps', 50_000))
+                            // (N * T))
+                ekey = (N, T, iters, int(cfg.get('opt_epochs', 10)),
+                        int(cfg.get('mini_batch_size', 64)),
+                        int(cfg.get('hidden_dim', 64)),
+                        str(cfg.get('activation', 'tanh')),
+                        bool(cfg.get('use_gae', False)))
+                if ekey not in evaluators:
+                    evaluators[ekey] = make_population_ppo_evaluator(
+                        env_func, rollout_batch_size=N, rollout_steps=T,
+                        iterations=iters, opt_epochs=ekey[3],
+                        mini_batch_size=ekey[4], hidden_dim=ekey[5],
+                        activation=ekey[6], use_gae=ekey[7],
+                        n_eval=self.n_episodes)
+                evaluate = evaluators[ekey]
+                # Lane layout: trial-major, R repetition lanes per trial,
+                # each with the trial's uid-derived seed (+rep).
+                hp_arrays = {
+                    name: np.repeat([float(vec.get(
+                        name, self.algo_config.get(name, np.nan)))
+                        for _, vec in members], R)
+                    for name in VECTOR_HPS
+                    if any(name in vec or name in self.algo_config
+                           for _, vec in members)}
+                seeds = [1000 * (int(t.uid[:8], 16) % 100_000 + 1) + rep
+                         for t, _ in members for rep in range(R)]
+                keys = np.stack([np.asarray(jax.random.PRNGKey(s))
+                                 for s in seeds])
+                t0 = _time.perf_counter()
+                returns = np.asarray(evaluate(hp_arrays, keys))
+                wall = _time.perf_counter() - t0
+                print(f'[HPO] vectorized round: {len(members)} trials x '
+                      f'{R} reps ({returns.shape[0]} lanes, '
+                      f'{evaluate.env_steps_per_lane} env steps each) '
+                      f'in one program, {wall:.1f} s')
+                per_trial = returns.reshape(len(members), R * returns.shape[-1])
+                for (t, _), samples in zip(members, per_trial):
+                    score = float(compute_cvar(
+                        samples, self.cvar_alpha,
+                        lower_range=(self.directions[0] == 'maximize')))
+                    if not np.isfinite(score):
+                        # Diverged lanes score the worst value, like
+                        # crashed sequential trials.
+                        score = (float('-inf')
+                                 if self.directions[0] == 'maximize'
+                                 else float('inf'))
+                    t.report(score, step=0)
+                    self.study.tell(t, score)
+
     def hyperparameter_optimization(self):
         """Run the study + dump artifacts (hpo.py:160-264)."""
-        self.study.optimize(self.objective, n_trials=self.n_trials,
-                            catch=(Exception,))
+        if self.vectorized_trials > 1:
+            self._optimize_vectorized()
+        else:
+            self.study.optimize(self.objective, n_trials=self.n_trials,
+                                catch=(Exception,))
         self.save_results()
         return self.study
 

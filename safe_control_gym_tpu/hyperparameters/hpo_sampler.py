@@ -63,37 +63,36 @@ GPMPC_dict = {
 }
 
 
-def _sample(space: Dict, trial) -> Dict[str, Any]:
+def _sample(space: Dict, trial, hps_dict=None) -> Dict[str, Any]:
+    """Suggest each hyperparameter in the space. A non-empty ``hps_dict``
+    restricts the search space BEFORE suggesting, so excluded names never
+    enter the trial record / TPE history (matching how a restricted
+    optuna search space behaves)."""
     out = {}
     for name, choices in space['categorical'].items():
+        if hps_dict and name not in hps_dict:
+            continue
         out[name] = trial.suggest_categorical(name, choices)
     for name, (low, high) in space['float'].items():
+        if hps_dict and name not in hps_dict:
+            continue
         out[name] = trial.suggest_float(name, low, high, log=True)
     return out
 
 
 def ppo_sampler(hps_dict, trial) -> Dict[str, Any]:
     """Sample PPO hyperparameters (hpo_sampler.py:64-135)."""
-    suggestion = _sample(PPO_dict, trial)
-    if hps_dict:
-        suggestion = {k: v for k, v in suggestion.items() if k in hps_dict}
-    return suggestion
+    return _sample(PPO_dict, trial, hps_dict)
 
 
 def sac_sampler(hps_dict, trial) -> Dict[str, Any]:
     """Sample SAC hyperparameters (hpo_sampler.py:138-180)."""
-    suggestion = _sample(SAC_dict, trial)
-    if hps_dict:
-        suggestion = {k: v for k, v in suggestion.items() if k in hps_dict}
-    return suggestion
+    return _sample(SAC_dict, trial, hps_dict)
 
 
 def gpmpc_sampler(hps_dict, trial) -> Dict[str, Any]:
     """Sample GP-MPC hyperparameters (hpo_sampler.py:183-224)."""
-    suggestion = _sample(GPMPC_dict, trial)
-    if hps_dict:
-        suggestion = {k: v for k, v in suggestion.items() if k in hps_dict}
-    return suggestion
+    return _sample(GPMPC_dict, trial, hps_dict)
 
 
 HYPERPARAMS_SAMPLER = {

@@ -256,20 +256,42 @@ class Study:
             return self._sign(vs[0])
         return float(sum(self._dominates(o, vs) for o in done_values))
 
+    def ask(self) -> Trial:
+        """Create a new trial against the current shared study state
+        (optuna's ask/tell API). Pulls other workers' finished trials
+        first so the sampler/pruner see the shared history (the
+        reference's MySQL storage role, hyperparameters/database.py).
+        Multiple asks may be outstanding — a population evaluator asks a
+        whole batch before telling any result; uniqueness comes from the
+        trial uid, and numbers are re-assigned on merge."""
+        self.refresh()
+        done_values = [self._values_of(t) for t in self.trials
+                       if self._values_of(t) is not None]
+        history = [dict(t, value=self._scalar_history_value(t, done_values))
+                   for t in self.trials]
+        return Trial(len(self.trials), self.sampler, history,
+                     pruner=self.pruner,
+                     sign=-1.0 if self.direction == 'maximize' else 1.0)
+
+    def tell(self, trial: Trial, value=None, state='COMPLETE'):
+        """Record a trial result and persist it."""
+        if isinstance(value, (list, tuple)):
+            values = [float(v) for v in value]
+            scalar = values[0]
+        else:
+            values = [float(value)] if value is not None else None
+            scalar = float(value) if value is not None else None
+        self.trials.append({'uid': trial.uid,
+                            'number': trial.number,
+                            'params': trial.params, 'value': scalar,
+                            'values': values,
+                            'state': state,
+                            'intermediate': trial.intermediate})
+        self._persist()
+
     def optimize(self, objective, n_trials=10, catch=()):
         for _ in range(n_trials):
-            # Pull other workers' finished trials so the sampler/pruner see
-            # the shared study state (the reference's MySQL storage role,
-            # hyperparameters/database.py).
-            self.refresh()
-            done_values = [self._values_of(t) for t in self.trials
-                           if self._values_of(t) is not None]
-            history = [dict(t, value=self._scalar_history_value(t,
-                                                                done_values))
-                       for t in self.trials]
-            trial = Trial(len(self.trials), self.sampler, history,
-                          pruner=self.pruner,
-                          sign=-1.0 if self.direction == 'maximize' else 1.0)
+            trial = self.ask()
             try:
                 value = objective(trial)
                 state = 'COMPLETE'
@@ -281,19 +303,7 @@ class Study:
                 print(f'[HPO] trial {trial.number} failed: {e}')
                 value = None
                 state = 'FAIL'
-            if isinstance(value, (list, tuple)):
-                values = [float(v) for v in value]
-                scalar = values[0]
-            else:
-                values = [float(value)] if value is not None else None
-                scalar = value
-            self.trials.append({'uid': trial.uid,
-                                'number': trial.number,
-                                'params': trial.params, 'value': scalar,
-                                'values': values,
-                                'state': state,
-                                'intermediate': trial.intermediate})
-            self._persist()
+            self.tell(trial, value, state)
 
     # -- shared JSON storage with file locking --------------------------
     # Multiple worker PROCESSES can share one study: every read/write takes
