@@ -214,6 +214,53 @@ class FuncEnv:
         self.max_steps = max_steps
 
 
+class _LiveViewer:
+    """Persistent interactive render window for ``gui=True`` envs.
+
+    Fills the role of the reference's per-env PyBullet GUI client
+    (cartpole.py:173-180, base_aviary.py:186-230): a window that tracks
+    the simulation live, one redraw per control step. Implementation is a
+    single reused matplotlib figure; with an interactive backend (a host
+    with a display) the window shows and flushes events each update, and
+    under a headless backend (Agg) the same figure is drawn offscreen so
+    ``gui: True`` configs run unchanged on display-less TPU hosts.
+    ``frame_count`` exposes redraws for tests/observability.
+    """
+
+    def __init__(self, title='safe-control-gym'):
+        import matplotlib
+        import matplotlib.pyplot as plt
+        self._plt = plt
+        backend = matplotlib.get_backend().lower()
+        self.interactive = not any(
+            backend.startswith(h) for h in
+            ('agg', 'pdf', 'svg', 'ps', 'cairo', 'template'))
+        self.fig, self.ax = plt.subplots(figsize=(5, 4), dpi=80)
+        self.frame_count = 0
+        try:
+            self.fig.canvas.manager.set_window_title(title)
+        except Exception:
+            pass
+        if self.interactive:
+            plt.ion()
+            self.fig.show()
+
+    def update(self, draw_fn):
+        """Redraw: clear the axes, let the env draw itself, flush."""
+        self.ax.cla()
+        draw_fn(self.ax)
+        self.ax.set_aspect('equal')
+        if self.interactive:
+            self.fig.canvas.draw_idle()
+            self.fig.canvas.flush_events()
+        else:
+            self.fig.canvas.draw()
+        self.frame_count += 1
+
+    def close(self):
+        self._plt.close(self.fig)
+
+
 class BenchmarkEnv(gym.Env):
     """Stateful shim + functional core builder. Subclasses: CartPole, Quadrotor."""
 
@@ -259,7 +306,11 @@ class BenchmarkEnv(gym.Env):
         self.pallas_physics = bool(pallas_physics)
         self.idx = BenchmarkEnv._idx_counter
         BenchmarkEnv._idx_counter += 1
-        self.GUI = gui  # accepted for config parity; no rendering backend
+        # gui=True opens a live viewer window updated every reset/step
+        # (reference: a PyBullet GUI client per env, cartpole.py:173-180).
+        # Built lazily on first use so headless batch jobs pay nothing.
+        self.GUI = gui
+        self._viewer = None
         self.VERBOSE = verbose
         self.output_dir = output_dir
         self.NORMALIZED_RL_ACTION_SPACE = normalized_rl_action_space
@@ -808,6 +859,8 @@ class BenchmarkEnv(gym.Env):
         obs = np.asarray(obs)
         self.at_reset = False
         info = self._get_reset_info()
+        if self.GUI:
+            self._update_viewer()
         return obs, info
 
     def step(self, action):
@@ -837,6 +890,8 @@ class BenchmarkEnv(gym.Env):
         rew = float(out.reward)
         done = bool(out.done)
         info = self._build_info(out)
+        if self.GUI:
+            self._update_viewer()
         return obs, rew, done, info
 
     def set_reference(self, x_goal):
@@ -922,7 +977,24 @@ class BenchmarkEnv(gym.Env):
         return {}
 
     def close(self):
-        pass
+        if self._viewer is not None:
+            self._viewer.close()
+            self._viewer = None
+
+    def _update_viewer(self):
+        """Draw the current state into the live GUI window.
+
+        The interactive analog of the reference's PyBullet GUI client
+        (cartpole.py:173-180): one persistent matplotlib figure per env,
+        redrawn from ``_draw_state`` every reset/step. On a host with a
+        display the window updates live (and `BaseExperiment` paces it to
+        ``visualization_time_multiplier`` x realtime); on a headless host
+        the identical draw path runs offscreen, so GUI-mode scripts remain
+        runnable (and testable) without an X server.
+        """
+        if self._viewer is None:
+            self._viewer = _LiveViewer(title=f'{type(self).__name__} {self.idx}')
+        self._viewer.update(self._draw_state)
 
     def render(self, mode='rgb_array'):
         """Rasterize the current state to an RGB frame.
@@ -930,9 +1002,14 @@ class BenchmarkEnv(gym.Env):
         The reference renders via the PyBullet camera (cartpole.py:376-383,
         base_aviary.py:333-347); here a light matplotlib rasterization of
         the analytic state serves the same debugging/video role headlessly.
+        ``mode='human'`` routes to the live viewer window instead.
         """
+        if mode == 'human':
+            self._update_viewer()
+            return None
         import matplotlib
-        matplotlib.use('Agg')
+        if self._viewer is None or not self._viewer.interactive:
+            matplotlib.use('Agg')
         import matplotlib.pyplot as plt
         fig, ax = plt.subplots(figsize=(4, 3), dpi=80)
         self._draw_state(ax)

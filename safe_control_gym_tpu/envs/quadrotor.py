@@ -706,10 +706,11 @@ class Quadrotor(BenchmarkEnv):
         """3D quads render an orientation-aware 3D frame (the PyBullet
         camera's role, base_aviary.py:333-347); 1D/2D keep the parent's
         planar rasterization."""
-        if self.QUAD_TYPE != QuadType.THREE_D:
+        if self.QUAD_TYPE != QuadType.THREE_D or mode == 'human':
             return super().render(mode)
         import matplotlib
-        matplotlib.use('Agg')
+        if self._viewer is None or not self._viewer.interactive:
+            matplotlib.use('Agg')
         import matplotlib.pyplot as plt
         from safe_control_gym_tpu.math.rotations import rot_xyz
         fig = plt.figure(figsize=(4, 3), dpi=80)
