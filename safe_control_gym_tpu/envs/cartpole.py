@@ -328,15 +328,17 @@ class CartPole(BenchmarkEnv):
 
         @adv.def_vmap
         def _rule(axis_size, in_batched, x, u, f, params):
+            # ``in_batched`` mirrors each argument's pytree structure:
+            # broadcast leaf-wise (params carries per-leaf flags).
             def bcast(v, b):
-                return v if b else jax.tree.map(
-                    lambda l: jnp.broadcast_to(l, (axis_size,) + jnp.shape(l)), v)
+                return jax.tree.map(
+                    lambda l, bl: l if bl else jnp.broadcast_to(
+                        jnp.asarray(l), (axis_size,) + jnp.shape(l)), v, b)
             x = bcast(x, in_batched[0])
             u = bcast(u, in_batched[1])
             f = bcast(f, in_batched[2])
             p0 = (jax.tree.map(lambda l: l[0], params)
-                  if jax.tree.all(jax.tree.map(lambda _: True, params))
-                  and in_batched[3] else params)
+                  if all(jax.tree.leaves(in_batched[3])) else params)
             pv = jnp.stack([p0.pole_mass, p0.cart_mass,
                             p0.pole_length, p0.gravity]).astype(jnp.float32)
             B = x.shape[0]

@@ -605,9 +605,14 @@ class Quadrotor(BenchmarkEnv):
 
         @adv.def_vmap
         def _rule(axis_size, in_batched, x, u, f, params):
+            # ``in_batched`` mirrors each argument's pytree structure, so a
+            # partially/un-batched params pytree carries PER-LEAF flags —
+            # broadcast leaf-wise (an ``if`` on a namedtuple of Falses is
+            # truthy and would skip the broadcast).
             def bcast(v, b):
-                return v if b else jax.tree.map(
-                    lambda l: jnp.broadcast_to(l, (axis_size,) + jnp.shape(l)), v)
+                return jax.tree.map(
+                    lambda l, bl: l if bl else jnp.broadcast_to(
+                        jnp.asarray(l), (axis_size,) + jnp.shape(l)), v, b)
             x = bcast(x, in_batched[0])
             u = bcast(u, in_batched[1])
             f = bcast(f, in_batched[2])
