@@ -19,8 +19,14 @@ README table: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import subprocess
 import sys
+
+# Before the XLA extension loads: silences the spurious per-entry
+# cpu_aot_loader ERROR on compile-cache reloads (see
+# utils.enable_persistent_compile_cache docstring).
+os.environ.setdefault('TF_CPP_MIN_LOG_LEVEL', '3')
 
 
 def _tpu_backend_ok(timeout=180):
@@ -52,6 +58,13 @@ try:
     jax.config.update('jax_default_prng_impl', 'rbg')
 except Exception:
     pass  # fall back to the default PRNG if unsupported
+
+# On-disk executable cache: the six scan programs compile for minutes
+# through the remote-TPU tunnel on first run and load in <1 s after
+# (timing excludes compiles either way — the warmup rep absorbs them).
+from safe_control_gym_tpu.utils.utils import enable_persistent_compile_cache
+
+enable_persistent_compile_cache()
 
 N_ENVS = 4096
 CTRL_FREQ = 50

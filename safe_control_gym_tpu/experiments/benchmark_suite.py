@@ -93,8 +93,14 @@ def measure_single_env(system, constrained, n_steps=2000):
 
 
 def measure_batched(system, constrained, batch=4096, n_steps=4096,
-                    n_reps=3):
-    """Batched fused rollout — the TPU-native operating point."""
+                    n_reps=3, unroll=1):
+    """Batched fused rollout — the TPU-native operating point.
+
+    ``unroll`` unrolls the scan body: the hot loop is launch-latency
+    bound (PERFORMANCE.md roofline), so replicating the body lets XLA
+    overlap/fuse the small inter-step glue ops (auto-reset selects,
+    action slicing) across iterations at the cost of a proportionally
+    larger program."""
     env = make(system.replace('_3D', ''), **_env_kwargs(system, constrained))
     func = env.func
     reset_v = jax.vmap(func.reset)
@@ -122,7 +128,8 @@ def measure_batched(system, constrained, batch=4096, n_steps=4096,
             # Per-step reduction keeps the scan output O(T), not O(T x B).
             return states, out.reward.sum()
 
-        states, rewards = jax.lax.scan(body, states, (actions, reset_keys))
+        states, rewards = jax.lax.scan(body, states, (actions, reset_keys),
+                                       unroll=unroll)
         return states, rewards.sum()
 
     rollout_jit = jax.jit(rollout, donate_argnums=(0,))

@@ -124,6 +124,34 @@ def deep_set(d: Dict, path: str, value: Any, sep: str = '.') -> None:
     d[keys[-1]] = value
 
 
+def enable_persistent_compile_cache(path: str = None) -> None:
+    """Enable JAX's on-disk executable cache (keyed by HLO hash, so reuse
+    across processes is safe). Compiles through this environment's
+    remote-TPU tunnel cost minutes for big scan programs and the test
+    suite is compile-bound on the single host core; the cache makes
+    repeat processes (pytest, bench.py, tools) skip both. No effect on
+    measured throughput — only on compile time. Call before the first
+    trace; a no-op if the running JAX build lacks the config knobs.
+
+    Loading cached XLA:CPU AOT executables logs a spurious per-entry
+    ERROR ("+prefer-no-scatter is not supported on the host machine ...
+    could lead to SIGILL"): XLA records its scatter/gather *tuning*
+    flags alongside the ISA features at compile time but the load-time
+    host probe only reports real ISA features, so same-machine reloads
+    false-positive (verified: full multichip dryrun runs correctly from
+    cache). Raise the C++ log threshold unless the caller already set
+    one — real failures still surface as Python exceptions."""
+    import jax
+    os.environ.setdefault('TF_CPP_MIN_LOG_LEVEL', '3')
+    path = path or os.environ.get('JAX_COMPILATION_CACHE_DIR',
+                                  os.path.expanduser('~/.cache/jax'))
+    try:
+        jax.config.update('jax_compilation_cache_dir', path)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+    except Exception:
+        pass
+
+
 def set_seed(seed: int, cuda: bool = False) -> None:
     """Seed python/numpy (and torch if importable) RNGs
     (reference utils.py:63-79). JAX controllers derive PRNG keys from the
