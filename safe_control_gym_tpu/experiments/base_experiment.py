@@ -19,6 +19,13 @@ same underlying pure step function, so what this harness measures is
 exactly what the fused programs execute — the shim only mirrors the latest
 ``StepOut`` into numpy/info-dict form for the metric extractor.
 
+Structure (this repo's idiom, not the reference's): the recorded step
+channels and the per-episode metric reducers are declarative tables
+(``RecordDataWrapper.STEP_CHANNELS``, ``MetricExtractor`` reducers) rather
+than inline bookkeeping loops, and all component plumbing (reset/close/
+save/load across ctrl, filter, and the two envs) iterates one component
+table instead of repeating null-guard blocks per method.
+
 Certification plumbing matches the reference: actions are denormalized
 before the safety filter sees them and renormalized after
 (base_experiment.py:167-194), so filters always reason in physical units
@@ -31,13 +38,31 @@ import time
 from collections import defaultdict
 from copy import deepcopy
 
-import gymnasium as gym
 import numpy as np
+
+import gymnasium as gym
 
 from safe_control_gym_tpu.math.metrics import compute_cvar
 from safe_control_gym_tpu.utils.utils import is_wrapped, munchify
 
 __all__ = ['BaseExperiment', 'RecordDataWrapper', 'MetricExtractor']
+
+
+def _recorded(env):
+    """Idempotently wrap an env in RecordDataWrapper (None passes through)."""
+    if env is None or is_wrapped(env, RecordDataWrapper):
+        return env
+    return RecordDataWrapper(env)
+
+
+def _print_metrics(metrics):
+    """Round + print the standard metric dict (run_evaluation verbose mode)."""
+    for name, value in metrics.items():
+        if isinstance(value, (list, np.ndarray)):
+            print(f'{name}: {[f"{v:.3f}" for v in np.atleast_1d(value)]}')
+        else:
+            print(f'{name}: {value:.3f}')
+    print('Evaluation done.')
 
 
 class _ResultsTape:
@@ -78,21 +103,53 @@ class BaseExperiment:
 
     def __init__(self, env, ctrl, train_env=None, safety_filter=None,
                  verbose: bool = False):
-        self.metric_extractor = MetricExtractor()
-        self.verbose = verbose
-        self.env = env
-        self.MAX_STEPS = int(self.env.CTRL_FREQ * self.env.EPISODE_LEN_SEC)
-        if not is_wrapped(self.env, RecordDataWrapper):
-            self.env = RecordDataWrapper(self.env)
+        self.env = _recorded(env)
+        self.train_env = _recorded(train_env)
         self.ctrl = ctrl
-        self.train_env = train_env
-        if train_env is not None and not is_wrapped(self.train_env, RecordDataWrapper):
-            self.train_env = RecordDataWrapper(self.train_env)
         self.safety_filter = safety_filter
+        self.verbose = verbose
+        self.metric_extractor = MetricExtractor()
+        self.MAX_STEPS = int(env.CTRL_FREQ * env.EPISODE_LEN_SEC)
         # Real-time pacing state for GUI evaluation
         # (reference base_experiment.py:57,185-192).
         self.visualization_time_multiplier = 1
         self._last_step_wall = None
+
+    # -- component plumbing -------------------------------------------
+    # Every lifecycle method acts on the same participant set; one table
+    # replaces the reference's per-method null-guard blocks.
+
+    def _parts(self):
+        """(name, component) pairs present on this experiment, in the
+        lifecycle order reset/close act on them."""
+        for name in ('env', 'ctrl', 'safety_filter', 'train_env'):
+            part = getattr(self, name)
+            if part is not None:
+                yield name, part
+
+    def reset(self):
+        for name, part in self._parts():
+            part.reset()
+            if name.endswith('env'):
+                part.clear_data()
+
+    def close(self):
+        for _, part in self._parts():
+            part.close()
+
+    def load(self, ctrl_path=None, safety_filter_path=None):
+        self._move_artifacts('load', ctrl_path, safety_filter_path)
+
+    def save(self, ctrl_path=None, safety_filter_path=None):
+        self._move_artifacts('save', ctrl_path, safety_filter_path)
+
+    def _move_artifacts(self, direction, ctrl_path, safety_filter_path):
+        for part, path in ((self.ctrl, ctrl_path),
+                           (self.safety_filter, safety_filter_path)):
+            if path is not None:
+                getattr(part, direction)(path)
+
+    # -- evaluation ----------------------------------------------------
 
     def run_evaluation(self, training=False, n_episodes=None, n_steps=None,
                        done_on_max_steps=None, log_freq=None, verbose=True,
@@ -114,13 +171,7 @@ class BaseExperiment:
             done_on_max_steps=done_on_max_steps, **kwargs)
         metrics = self.compute_metrics(trajs_data)
         if verbose:
-            for metric_key, metric_val in metrics.items():
-                if isinstance(metric_val, (list, np.ndarray)):
-                    rounded = [f'{elem:.3f}' for elem in np.atleast_1d(metric_val)]
-                    print(f'{metric_key}: {rounded}')
-                else:
-                    print(f'{metric_key}: {metric_val:.3f}')
-            print('Evaluation done.')
+            _print_metrics(metrics)
         return dict(trajs_data), metrics
 
     def _execute_evaluations(self, n_episodes=None, n_steps=None,
@@ -136,23 +187,25 @@ class BaseExperiment:
         episode end) with a seed-plumbing fix: episode seeds are applied
         to every reset, not only the first.
         """
-        if n_episodes is None and n_steps is None:
-            raise ValueError('One of n_episodes or n_steps must be defined.')
-        if n_episodes is not None and n_steps is not None:
-            raise ValueError('Only one of n_episodes or n_steps can be defined.')
+        if (n_episodes is None) == (n_steps is None):
+            raise ValueError(
+                'Exactly one of n_episodes or n_steps must be defined.')
         if seeds is not None:
-            assert len(seeds) == n_episodes, 'Number of seeds must match the number of episodes'
+            assert len(seeds) == n_episodes, \
+                'Number of seeds must match the number of episodes'
 
         sim_steps = log_freq // self.env.CTRL_FREQ if log_freq else 1
         self._tape = _ResultsTape(self.ctrl, self.safety_filter)
         self._episode_steps = 0   # steps since the last reset/done
         self._episodes_done = 0
         self._seeds = seeds
-        obs, info = self._evaluation_reset(seed=seeds[0] if seeds is not None else None)
+        obs, info = self._evaluation_reset(
+            seed=seeds[0] if seeds is not None else None)
         self._tape.enabled = True
 
-        budget_left = (lambda: self._episodes_done < n_episodes) if n_episodes is not None \
-            else (lambda: self._episode_steps < n_steps)
+        budget_left = ((lambda: self._episodes_done < n_episodes)
+                       if n_episodes is not None
+                       else (lambda: self._episode_steps < n_steps))
         while budget_left():
             action = self._select_action(obs=obs, info=info)
             # Sub-step loop: one logged control step per log_freq tick.
@@ -191,12 +244,11 @@ class BaseExperiment:
         ``visualization_time_multiplier`` x realtime (reference :185-192)."""
         action = self.ctrl.select_action(obs, info)
         if self.safety_filter is not None:
-            physical_action = self.env.denormalize_action(action)
-            unextended_obs = np.asarray(obs)[:self.env.symbolic.nx]
-            certified_action, success = self.safety_filter.certify_action(
-                unextended_obs, physical_action, info)
-            if success:
-                action = self.env.normalize_action(certified_action)
+            certified, ok = self.safety_filter.certify_action(
+                np.asarray(obs)[:self.env.symbolic.nx],
+                self.env.denormalize_action(action), info)
+            if ok:
+                action = self.env.normalize_action(certified)
         self._pace_visualization()
         return action
 
@@ -224,60 +276,59 @@ class BaseExperiment:
             self.safety_filter.reset_before_run(env=self.env)
         return obs, info
 
+    # -- training ------------------------------------------------------
+
     def launch_training(self, **kwargs):
         """Delegate training to the controller/filter learn()
         (base_experiment.py:221-239)."""
         self.reset()
-        self.ctrl.learn(env=self.train_env, **kwargs)
-        if self.safety_filter:
-            self.safety_filter.learn(env=self.train_env, **kwargs)
+        for _, part in self._parts():
+            if hasattr(part, 'learn'):
+                part.learn(env=self.train_env, **kwargs)
         print('Training done.')
-        trajs_data = {}
-        if self.train_env is not None:
-            trajs_data = self.train_env.data
-        return dict(trajs_data)
+        return dict(self.train_env.data if self.train_env is not None else {})
 
     def compute_metrics(self, trajs_data):
         return self.metric_extractor.compute_metrics(data=trajs_data,
                                                      verbose=self.verbose)
 
-    def reset(self):
-        self.env.reset()
-        self.env.clear_data()
-        self.ctrl.reset()
-        if self.safety_filter is not None:
-            self.safety_filter.reset()
-        if self.train_env is not None:
-            self.train_env.reset()
-            self.train_env.clear_data()
-
-    def close(self):
-        self.env.close()
-        self.ctrl.close()
-        if self.safety_filter is not None:
-            self.safety_filter.close()
-        if self.train_env is not None:
-            self.train_env.close()
-
-    def load(self, ctrl_path=None, safety_filter_path=None):
-        if ctrl_path is not None:
-            self.ctrl.load(ctrl_path)
-        if safety_filter_path is not None:
-            self.safety_filter.load(safety_filter_path)
-
-    def save(self, ctrl_path=None, safety_filter_path=None):
-        if ctrl_path is not None:
-            self.ctrl.save(ctrl_path)
-        if safety_filter_path is not None:
-            self.safety_filter.save(safety_filter_path)
-
 
 class RecordDataWrapper(gym.Wrapper):
-    """Standardized per-step data logging (base_experiment.py:310-377)."""
+    """Standardized per-step data logging (base_experiment.py:310-377).
+
+    Each recorded channel is one row of the declarative tables below:
+    the key it lands under in ``episode_data`` and a grabber over the
+    transition. ``save_data`` rolls the open episode into ``data`` as
+    per-episode numpy arrays (info dicts as object arrays).
+    """
+
+    #: reset-time channels: key -> grab(env, obs, info)
+    RESET_CHANNELS = (
+        ('obs', lambda env, obs, info: obs),
+        ('info', lambda env, obs, info: info),
+        ('state', lambda env, obs, info: env.state),
+    )
+    #: step-time channels: key -> grab(env, transition) where transition
+    #: is the (obs, reward, done, info) tuple returned by env.step.
+    STEP_CHANNELS = (
+        ('obs', lambda env, t: t[0]),
+        ('action', lambda env, t: env.current_raw_action),
+        ('done', lambda env, t: float(t[2])),
+        ('info', lambda env, t: t[3]),
+        ('reward', lambda env, t: t[1]),
+        ('length', lambda env, t: 1),
+        ('state', lambda env, t: env.state),
+        ('current_physical_action',
+         lambda env, t: env.current_physical_action),
+        ('current_noisy_physical_action',
+         lambda env, t: env.current_noisy_physical_action),
+        ('current_clipped_action',
+         lambda env, t: env.current_clipped_action),
+        ('timestamp', lambda env, t: time.time()),
+    )
 
     def __init__(self, env):
         super().__init__(env)
-        self.episode_data = defaultdict(list)
         self.clear_data()
 
     def __getattr__(self, name):
@@ -288,46 +339,33 @@ class RecordDataWrapper(gym.Wrapper):
             raise AttributeError(name)
         return getattr(self.env, name)
 
-    def save_data(self):
-        if self.episode_data:
-            for key, ep_val in self.episode_data.items():
-                if key == 'info':
-                    self.data[key].append(np.array(deepcopy(ep_val), dtype=object))
-                else:
-                    self.data[key].append(np.array(deepcopy(ep_val)))
-            self.episode_data = defaultdict(list)
-
     def clear_data(self):
         self.data = defaultdict(list)
         self.episode_data = defaultdict(list)
+
+    def save_data(self):
+        """Roll the open episode's channels into the per-episode arrays."""
+        if not self.episode_data:
+            return
+        episode, self.episode_data = self.episode_data, defaultdict(list)
+        for key, steps in episode.items():
+            as_array = np.array(deepcopy(steps),
+                                dtype=object if key == 'info' else None)
+            self.data[key].append(as_array)
 
     def reset(self, **kwargs):
         obs, info = self.env.reset(**kwargs)
         info.pop('symbolic_model', None)
         info.pop('symbolic_constraints', None)
-        step_data = dict(obs=obs, info=info, state=self.env.state)
-        for key, val in step_data.items():
-            self.episode_data[key].append(val)
+        for key, grab in self.RESET_CHANNELS:
+            self.episode_data[key].append(grab(self.env, obs, info))
         return obs, info
 
     def step(self, action):
-        obs, reward, done, info = self.env.step(action)
-        step_data = dict(
-            obs=obs,
-            action=self.env.current_raw_action,
-            done=float(done),
-            info=info,
-            reward=reward,
-            length=1,
-            state=self.env.state,
-            current_physical_action=self.env.current_physical_action,
-            current_noisy_physical_action=self.env.current_noisy_physical_action,
-            current_clipped_action=self.env.current_clipped_action,
-            timestamp=time.time(),
-        )
-        for key, val in step_data.items():
-            self.episode_data[key].append(val)
-        return obs, reward, done, info
+        transition = self.env.step(action)
+        for key, grab in self.STEP_CHANNELS:
+            self.episode_data[key].append(grab(self.env, transition))
+        return transition
 
 
 class MetricExtractor:
@@ -348,53 +386,65 @@ class MetricExtractor:
         lengths = self.get_episode_lengths()
         rmse = self.get_episode_rmse()
         violations = self.get_episode_constraint_violation_steps()
-        metrics = {
+
+        def per_episode_or_scalar(seq):
+            # Multi-episode runs report the vector; single-episode runs
+            # report the bare value (reference metric-dict convention).
+            return seq if len(seq) > 1 else seq[0]
+
+        return {
             'average_length': np.asarray(lengths).mean(),
-            'length': lengths if len(lengths) > 1 else lengths[0],
+            'length': per_episode_or_scalar(lengths),
             'average_return': np.asarray(self.get_episode_returns()).mean(),
             'average_rmse': np.asarray(rmse).mean(),
-            'rmse': np.asarray(rmse) if len(rmse) > 1 else rmse[0],
+            'rmse': per_episode_or_scalar(np.asarray(rmse)),
             'rmse_std': np.asarray(rmse).std(),
             'worst_case_rmse_at_0.5': compute_cvar(np.asarray(rmse), 0.5,
                                                    lower_range=False),
-            'failure_rate': np.asarray(self.get_episode_constraint_violations()).mean(),
+            'failure_rate':
+                np.asarray(self.get_episode_constraint_violations()).mean(),
             'average_constraint_violation': np.asarray(violations).mean(),
             'constraint_violation_std': np.asarray(violations).std(),
-            'constraint_violation': (np.asarray(violations)
-                                     if len(violations) > 1 else violations[0]),
+            'constraint_violation':
+                per_episode_or_scalar(np.asarray(violations)),
         }
-        return metrics
 
     def get_episode_data(self, key, postprocess_func=lambda x: x):
+        """Per-episode reduction of one recorded channel: top-level
+        channels first, then per-step info-dict entries."""
         if key in self.data:
-            return [postprocess_func(ep_val) for ep_val in self.data[key]]
+            return [postprocess_func(ep) for ep in self.data[key]]
         if key in self.data['info'][0][-1]:
-            episode_data = []
-            for ep_info in self.data['info']:
-                ep_info_data = []
-                for info in ep_info:
-                    if key in info:
-                        ep_info_data.append(info.get(key))
-                    elif self.verbose:
-                        print(f'[Warn] MetricExtractor.get_episode_data: key {key} not in info dict.')
-                episode_data.append(postprocess_func(ep_info_data))
-            return episode_data
+            return [postprocess_func(self._from_infos(ep_info, key))
+                    for ep_info in self.data['info']]
         raise KeyError(f"Given data key '{key}' does not exist in recorded trajectory data.")
 
+    def _from_infos(self, ep_info, key):
+        """One episode's per-step values of an info-dict channel."""
+        values = []
+        for info in ep_info:
+            if key in info:
+                values.append(info[key])
+            elif self.verbose:
+                print(f'[Warn] MetricExtractor.get_episode_data: '
+                      f'key {key} not in info dict.')
+        return values
+
+    # Per-channel accessors (reference API): channel key + episode reducer.
+
     def get_episode_lengths(self):
-        return self.get_episode_data('length', postprocess_func=sum)
+        return self.get_episode_data('length', sum)
 
     def get_episode_returns(self):
-        return self.get_episode_data('reward', postprocess_func=sum)
+        return self.get_episode_data('reward', sum)
 
     def get_episode_rmse(self):
         return self.get_episode_data(
-            'mse', postprocess_func=lambda x: float(np.sqrt(np.mean(x))))
+            'mse', lambda steps: float(np.sqrt(np.mean(steps))))
 
     def get_episode_constraint_violations(self):
         return self.get_episode_data(
-            'constraint_violation', postprocess_func=lambda x: float(any(x)))
+            'constraint_violation', lambda steps: float(any(steps)))
 
     def get_episode_constraint_violation_steps(self):
-        return self.get_episode_data('constraint_violation',
-                                     postprocess_func=sum)
+        return self.get_episode_data('constraint_violation', sum)
