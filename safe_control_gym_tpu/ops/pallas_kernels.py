@@ -25,26 +25,18 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ['cartpole_advance_pallas', 'quad2d_advance_pallas', 'quad3d_advance_pallas']
+__all__ = ['cartpole_advance_pallas', 'quad2d_advance_pallas', 'quad3d_advance_pallas',
+           'cartpole_substeps', 'quad2d_substeps', 'quad3d_substeps']
 
 
-def _cartpole_kernel(params_ref, in_ref, out_ref, *, n_substeps, dt):
-    """One fused control step: n_substeps semi-implicit-Euler updates."""
-    m = params_ref[0, 0]       # pole mass
-    M = params_ref[0, 1]       # cart mass
-    L = params_ref[0, 2]       # effective (half) pole length
-    g = params_ref[0, 3]       # gravity
+def cartpole_substeps(x, xd, th, thd, force, fx, fz, m, M, L, g,
+                      n_substeps, dt):
+    """``n_substeps`` fused semi-implicit-Euler cartpole updates on VPU
+    vectors (manipulator form incl. the pole-COM tab force). Shared by the
+    per-step advance kernel and the whole-rollout kernel
+    (ops/rollout_kernels.py)."""
     Mm = m + M
     ml = m * L
-
-    x = in_ref[0, :]
-    xd = in_ref[1, :]
-    th = in_ref[2, :]
-    thd = in_ref[3, :]
-    force = in_ref[4, :]
-    fx = in_ref[5, :]
-    fz = in_ref[6, :]
-
     a11 = Mm
     a22 = (4.0 / 3.0) * m * L * L
     # Loop invariants hoisted; per-substep divides collapse to ONE
@@ -69,14 +61,24 @@ def _cartpole_kernel(params_ref, in_ref, out_ref, *, n_substeps, dt):
         thd = thd + dt * th_dd
         x = x + dt * xd
         th = th + dt * thd
+    return x, xd, th, thd
+
+
+def _cartpole_kernel(params_ref, in_ref, out_ref, *, n_substeps, dt):
+    """One fused control step: n_substeps semi-implicit-Euler updates."""
+    x, xd, th, thd = cartpole_substeps(
+        in_ref[0, :], in_ref[1, :], in_ref[2, :], in_ref[3, :],
+        in_ref[4, :], in_ref[5, :], in_ref[6, :],
+        params_ref[0, 0], params_ref[0, 1], params_ref[0, 2],
+        params_ref[0, 3], n_substeps, dt)
 
     out_ref[0, :] = x
     out_ref[1, :] = xd
     out_ref[2, :] = th
     out_ref[3, :] = thd
-    out_ref[4, :] = force
-    out_ref[5, :] = fx
-    out_ref[6, :] = fz
+    out_ref[4, :] = in_ref[4, :]
+    out_ref[5, :] = in_ref[5, :]
+    out_ref[6, :] = in_ref[6, :]
     out_ref[7, :] = in_ref[7, :]
 
 
@@ -124,31 +126,12 @@ def cartpole_advance_pallas(states, forces, tab_forces, params,
     return out[0:4, :B].T
 
 
-def _quad2d_kernel(params_ref, in_ref, out_ref, *, n_substeps, dt):
-    """Fused 2D-quadrotor control step: n_substeps semi-implicit updates.
-
-    Rows: 0..5 = [x, x_dot, z, z_dot, theta, theta_dot], 6 = T1 (front
-    rotor-pair thrust), 7 = T2, 8..9 = world disturbance force (fx, fz),
-    10..15 = padding. Mirrors Quadrotor._sim_xdot for the plain 'pyb'
-    physics mode (quadrotor.py:476-498 of this repo; reference
-    base_aviary.py:364-384).
-    """
-    m = params_ref[0, 0]
-    Iyy = params_ref[0, 1]
-    L = params_ref[0, 2]
-    g = params_ref[0, 3]
-
-    x = in_ref[0, :]
-    xd = in_ref[1, :]
-    z = in_ref[2, :]
-    zd = in_ref[3, :]
-    th = in_ref[4, :]
-    thd = in_ref[5, :]
-    T1 = in_ref[6, :]
-    T2 = in_ref[7, :]
-    fx = in_ref[8, :]
-    fz = in_ref[9, :]
-
+def quad2d_substeps(x, xd, z, zd, th, thd, T1, T2, fx, fz, m, Iyy, L, g,
+                    n_substeps, dt):
+    """``n_substeps`` fused semi-implicit 2D-quad updates on VPU vectors.
+    Mirrors Quadrotor._sim_xdot for the plain 'pyb' physics mode
+    (quadrotor.py:476-498 of this repo; reference base_aviary.py:364-384).
+    Shared by the per-step advance kernel and the whole-rollout kernel."""
     # Torque is state-independent: constant angular acceleration. All
     # divides are loop-invariant — hoisted out of the substep loop.
     th_dd = L * (T2 - T1) / Iyy / jnp.sqrt(2.0)
@@ -168,6 +151,22 @@ def _quad2d_kernel(params_ref, in_ref, out_ref, *, n_substeps, dt):
         x = x + dt * xd
         z = z + dt * zd
         th = th + dt * thd
+    return x, xd, z, zd, th, thd
+
+
+def _quad2d_kernel(params_ref, in_ref, out_ref, *, n_substeps, dt):
+    """Fused 2D-quadrotor control step: n_substeps semi-implicit updates.
+
+    Rows: 0..5 = [x, x_dot, z, z_dot, theta, theta_dot], 6 = T1 (front
+    rotor-pair thrust), 7 = T2, 8..9 = world disturbance force (fx, fz),
+    10..15 = padding.
+    """
+    x, xd, z, zd, th, thd = quad2d_substeps(
+        in_ref[0, :], in_ref[1, :], in_ref[2, :], in_ref[3, :],
+        in_ref[4, :], in_ref[5, :], in_ref[6, :], in_ref[7, :],
+        in_ref[8, :], in_ref[9, :],
+        params_ref[0, 0], params_ref[0, 1], params_ref[0, 2],
+        params_ref[0, 3], n_substeps, dt)
 
     out_ref[0, :] = x
     out_ref[1, :] = xd
@@ -175,10 +174,10 @@ def _quad2d_kernel(params_ref, in_ref, out_ref, *, n_substeps, dt):
     out_ref[3, :] = zd
     out_ref[4, :] = th
     out_ref[5, :] = thd
-    out_ref[6, :] = T1
-    out_ref[7, :] = T2
-    out_ref[8, :] = fx
-    out_ref[9, :] = fz
+    out_ref[6, :] = in_ref[6, :]
+    out_ref[7, :] = in_ref[7, :]
+    out_ref[8, :] = in_ref[8, :]
+    out_ref[9, :] = in_ref[9, :]
     out_ref[10, :] = in_ref[10, :]
     out_ref[11, :] = in_ref[11, :]
     out_ref[12, :] = in_ref[12, :]
@@ -224,46 +223,23 @@ def quad2d_advance_pallas(states, t1, t2, dyn_forces, params,
     return out[0:6, :B].T
 
 
-def _quad3d_kernel(params_ref, in_ref, out_ref, *, n_substeps, dt):
-    """Fused 3D-quadrotor control step (plain 'pyb' physics).
+def quad3d_substeps(state, forces, zt, dist, m, Ixx, Iyy, Izz, L, g,
+                    n_substeps, dt):
+    """``n_substeps`` fused semi-implicit 3D-quad updates on VPU vectors.
 
-    Rows: 0..11 = [x, x_dot, y, y_dot, z, z_dot, phi, theta, psi, p, q, r],
-    12..15 = per-motor forces (held), 16 = z torque, 17..19 = world
-    disturbance force, 20..23 = padding. Mirrors Quadrotor._sim_xdot /
-    _sim_pos_rates for QuadType.THREE_D (quadrotor.py:499-541 of this
-    repo; reference quadrotor.py:513-570, Luis & Le Ny 2016): R = Rz Ry Rx
-    thrust direction, diagonal-J Euler equations, ZYX Euler-rate map W.
+    ``state`` is the 12-tuple [x, x_dot, y, y_dot, z, z_dot, phi, theta,
+    psi, p, q, r]; ``forces`` the per-motor 4-tuple; ``dist`` the world
+    (fx, fy, fz) 3-tuple. Mirrors Quadrotor._sim_xdot / _sim_pos_rates for
+    QuadType.THREE_D (quadrotor.py:499-541 of this repo; reference
+    quadrotor.py:513-570, Luis & Le Ny 2016): R = Rz Ry Rx thrust
+    direction, diagonal-J Euler equations, ZYX Euler-rate map W.
     Semi-implicit: velocities/body-rates first; positions advance with the
     new linear velocities; Euler angles advance with W(old angles) @ new
-    body rates.
-    """
-    m = params_ref[0, 0]
-    Ixx = params_ref[0, 1]
-    Iyy = params_ref[0, 2]
-    Izz = params_ref[0, 3]
-    L = params_ref[0, 4]
-    g = params_ref[0, 5]
-
-    x = in_ref[0, :]
-    xd = in_ref[1, :]
-    y = in_ref[2, :]
-    yd = in_ref[3, :]
-    z = in_ref[4, :]
-    zd = in_ref[5, :]
-    phi = in_ref[6, :]
-    th = in_ref[7, :]
-    psi = in_ref[8, :]
-    p = in_ref[9, :]
-    q = in_ref[10, :]
-    r = in_ref[11, :]
-    f0 = in_ref[12, :]
-    f1 = in_ref[13, :]
-    f2 = in_ref[14, :]
-    f3 = in_ref[15, :]
-    zt = in_ref[16, :]
-    fx = in_ref[17, :]
-    fy = in_ref[18, :]
-    fz = in_ref[19, :]
+    body rates. Shared by the per-step advance kernel and the
+    whole-rollout kernel."""
+    x, xd, y, yd, z, zd, phi, th, psi, p, q, r = state
+    f0, f1, f2, f3 = forces
+    fx, fy, fz = dist
 
     total = f0 + f1 + f2 + f3
     l_sq2 = L / jnp.sqrt(2.0)
@@ -318,18 +294,26 @@ def _quad3d_kernel(params_ref, in_ref, out_ref, *, n_substeps, dt):
         th = th + dt * th_d
         psi = psi + dt * psi_d
 
-    out_ref[0, :] = x
-    out_ref[1, :] = xd
-    out_ref[2, :] = y
-    out_ref[3, :] = yd
-    out_ref[4, :] = z
-    out_ref[5, :] = zd
-    out_ref[6, :] = phi
-    out_ref[7, :] = th
-    out_ref[8, :] = psi
-    out_ref[9, :] = p
-    out_ref[10, :] = q
-    out_ref[11, :] = r
+    return x, xd, y, yd, z, zd, phi, th, psi, p, q, r
+
+
+def _quad3d_kernel(params_ref, in_ref, out_ref, *, n_substeps, dt):
+    """Fused 3D-quadrotor control step (plain 'pyb' physics).
+
+    Rows: 0..11 = [x, x_dot, y, y_dot, z, z_dot, phi, theta, psi, p, q, r],
+    12..15 = per-motor forces (held), 16 = z torque, 17..19 = world
+    disturbance force, 20..23 = padding.
+    """
+    new_state = quad3d_substeps(
+        tuple(in_ref[k, :] for k in range(12)),
+        tuple(in_ref[12 + k, :] for k in range(4)),
+        in_ref[16, :],
+        tuple(in_ref[17 + k, :] for k in range(3)),
+        params_ref[0, 0], params_ref[0, 1], params_ref[0, 2],
+        params_ref[0, 3], params_ref[0, 4], params_ref[0, 5],
+        n_substeps, dt)
+    for k in range(12):
+        out_ref[k, :] = new_state[k]
     for i in range(12, 24):
         out_ref[i, :] = in_ref[i, :]
 

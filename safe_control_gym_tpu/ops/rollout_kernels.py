@@ -1,0 +1,582 @@
+"""Whole-rollout Pallas kernels: the FULL open-loop env loop in ONE launch.
+
+The production batched step (``FuncEnv.step_autoreset`` under ``lax.scan``)
+is launch-latency bound, not compute bound: even the physics-only Pallas
+kernel spends most of its 11 us/step on per-step dispatch + pack/unpack at
+4096 envs, against ~3 us of actual VPU work (PERFORMANCE.md roofline).
+This module removes the per-step launches entirely for OPEN-LOOP rollouts
+(random or pre-recorded action sequences — the reference's headline
+benchmark protocol, README.md:169-193, and dataset-generation workloads):
+the whole T-step control loop runs inside one ``pallas_call`` with
+``grid=(T,)``, the state resident in VMEM across grid steps, actions drawn
+by the on-core PRNG (``pltpu.prng_random_bits``), and per-env episode
+statistics accumulated in the output block.
+
+Everything the production step computes LIVE under the benchmark protocol
+is computed here per step, bit-matching the step semantics of
+``BenchmarkEnv._build_functional`` / ``CartPole`` (this repo; reference
+cartpole.py:479-696):
+
+  action pipeline (denormalize -> white-noise action disturbance ->
+  clip) -> ``PYB_STEPS_PER_CTRL`` semi-implicit-Euler substeps -> RL
+  exp reward with wrapped angle -> goal-reached / out-of-bounds /
+  time-limit done -> box-constraint violation count -> batched
+  auto-reset with additive-uniform init randomization.
+
+RNG note: draws are distribution-identical to the production path (iid
+uniform actions / init offsets, iid Gaussian action noise via Box-Muller)
+but come from the TPU core PRNG, not the JAX threefry/rbg stream — the
+same equivalence the hoisted-RNG bench protocol already establishes
+(benchmark_suite.measure_batched).
+
+Closed-loop training CANNOT use this (the policy matmul sits between
+steps); RL keeps the per-step fused scan.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from safe_control_gym_tpu.ops.pallas_kernels import (cartpole_substeps,
+                                                     quad2d_substeps,
+                                                     quad3d_substeps)
+
+__all__ = ['cartpole_rollout_pallas', 'cartpole_rollout_cfg',
+           'quad2d_rollout_pallas', 'quad2d_rollout_cfg',
+           'quad3d_rollout_pallas', 'quad3d_rollout_cfg',
+           'CARTPOLE_CFG_LEN']
+
+_TWO_PI = 6.283185307179586
+_INV_2PI = 1.0 / _TWO_PI
+
+
+def _uniform01(shape):
+    """iid uniform [0, 1) f32 from the on-core PRNG (24 mantissa bits).
+
+    The high 24 bits fit in a non-negative int32, which Mosaic CAN cast
+    to f32 (it has no uint32 -> f32 lowering)."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    return pltpu.bitcast(bits >> 8, jnp.int32).astype(jnp.float32) \
+        * (1.0 / (1 << 24))
+
+
+def _standard_normal(u1, u2):
+    """Box-Muller: two uniforms -> one standard normal (per lane)."""
+    r = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
+    return r * jnp.cos(_TWO_PI * u2)
+
+
+def _wrap_angle(th):
+    """((th + pi) mod 2pi) - pi, floor-division semantics (rotations.py:25)."""
+    return th - _TWO_PI * jnp.floor((th + jnp.pi) * _INV_2PI)
+
+
+# ---------------------------------------------------------------------------
+# CartPole
+# ---------------------------------------------------------------------------
+# cfg vector layout (SMEM, f32). Grouped: dynamics, action pipeline, task,
+# episode, init randomization, reward weights, constraint box.
+_C = dict(
+    POLE_MASS=0, CART_MASS=1, POLE_LEN=2, GRAVITY=3,
+    ACT_LO=4, ACT_HI=5, ACT_SCALE=6, PHYS_LO=7, PHYS_HI=8,
+    GOAL=9,            # 9..12: goal state
+    TOL_SQ=13, X_THRESH=14, TH_THRESH=15, MAX_STEPS=16,
+    W_ACT=17, NOISE_STD=18,
+    INIT_LO=19,        # 19..22: fresh-state low (nominal + rand low)
+    INIT_HI=23,        # 23..26: fresh-state high
+    W_STATE=27,        # 27..30: reward state weights
+    CON_HI=31,         # 31..34: symmetric state-box constraint bound
+)
+CARTPOLE_CFG_LEN = 35
+
+# Output block rows (f32, lane = env): 0..3 state, 4 ctrl_step,
+# 5 reward accumulator, 6 done count, 7 constraint-violation count.
+_ROWS = 8
+
+
+def _cartpole_rollout_kernel(cfg_ref, seed_ref, state0_ref, act_ref, out_ref,
+                             *, n_substeps, dt, draw_actions, constrained,
+                             randomized_reset, rew_exponential, done_on_oob):
+    i = pl.program_id(0)
+    B = out_ref.shape[1]
+
+    @pl.when(i == 0)
+    def _init():
+        out_ref[:] = state0_ref[:]
+
+    if draw_actions or constrained or randomized_reset:
+        # Per-step reseed: deterministic in (seed, step), independent across
+        # steps — PRNG state need not survive grid iterations. (Gated so the
+        # deterministic replay path contains no PRNG ops and runs under the
+        # CPU interpreter, which has no prng_seed lowering.)
+        pltpu.prng_seed(seed_ref[0] + i)
+        rnd = _uniform01((8, B))
+
+    c = lambda k, off=0: cfg_ref[0, _C[k] + off]
+
+    x = out_ref[0, :]
+    xd = out_ref[1, :]
+    th = out_ref[2, :]
+    thd = out_ref[3, :]
+    step = out_ref[4, :]
+
+    # -- action pipeline (cartpole.py:479-530; step_impl in benchmark_env) --
+    if draw_actions:
+        raw = c('ACT_LO') + rnd[0, :] * (c('ACT_HI') - c('ACT_LO'))
+    else:
+        # Actions stream in 8-row blocks (TPU sublane tiling); row i % 8
+        # of block i // 8 is this step's action row.
+        raw = act_ref[pl.ds(i % 8, 1), :][0, :]
+    phys = raw * c('ACT_SCALE')
+    noisy = phys
+    if constrained:  # white-noise action disturbance, N(0, std)
+        noisy = phys + c('NOISE_STD') * _standard_normal(rnd[1, :], rnd[2, :])
+    force = jnp.clip(noisy, c('PHYS_LO'), c('PHYS_HI'))
+
+    # -- physics: the shared fused-substep loop (no tab-force channel in
+    # the open-loop benchmark protocol — scalar zeros fold away) --
+    x, xd, th, thd = cartpole_substeps(
+        x, xd, th, thd, force, 0.0, 0.0,
+        c('POLE_MASS'), c('CART_MASS'), c('POLE_LEN'), c('GRAVITY'),
+        n_substeps, dt)
+
+    # -- reward: wrapped-angle quadratic, exponential (cartpole.py:611-635) --
+    e0 = x - c('GOAL', 0)
+    e1 = xd - c('GOAL', 1)
+    ew = _wrap_angle(th) - c('GOAL', 2)
+    e3 = thd - c('GOAL', 3)
+    dist = (c('W_STATE', 0) * e0 * e0 + c('W_STATE', 1) * e1 * e1
+            + c('W_STATE', 2) * ew * ew + c('W_STATE', 3) * e3 * e3
+            + c('W_ACT') * noisy * noisy)
+    rew = jnp.exp(-dist) if rew_exponential else -dist
+
+    # -- done: goal (unwrapped norm) / out-of-bounds / time limit --
+    e2 = th - c('GOAL', 2)
+    goal_sq = e0 * e0 + e1 * e1 + e2 * e2 + e3 * e3
+    done = goal_sq < c('TOL_SQ')
+    if done_on_oob:
+        oob = jnp.logical_or(jnp.abs(x) > c('X_THRESH'),
+                             jnp.abs(th) > c('TH_THRESH'))
+        done = jnp.logical_or(done, oob)
+    new_step = step + 1.0
+    done = jnp.logical_or(done, new_step >= c('MAX_STEPS'))
+
+    if constrained:
+        # Default state box (A=[-I;I] against state_space bounds,
+        # constraints.py:168-197); the clipped input never exceeds its box.
+        viol = (jnp.abs(x) > c('CON_HI', 0))
+        viol = jnp.logical_or(viol, jnp.abs(xd) > c('CON_HI', 1))
+        viol = jnp.logical_or(viol, jnp.abs(th) > c('CON_HI', 2))
+        viol = jnp.logical_or(viol, jnp.abs(thd) > c('CON_HI', 3))
+        out_ref[7, :] += viol.astype(jnp.float32)
+
+    # -- batched auto-reset: additive-uniform fresh states --
+    if randomized_reset:
+        fresh = [c('INIT_LO', k) + rnd[4 + k, :]
+                 * (c('INIT_HI', k) - c('INIT_LO', k)) for k in range(4)]
+    else:
+        fresh = [jnp.full((B,), c('INIT_LO', k)) for k in range(4)]
+    out_ref[0, :] = jnp.where(done, fresh[0], x)
+    out_ref[1, :] = jnp.where(done, fresh[1], xd)
+    out_ref[2, :] = jnp.where(done, fresh[2], th)
+    out_ref[3, :] = jnp.where(done, fresh[3], thd)
+    out_ref[4, :] = jnp.where(done, 0.0, new_step)
+    out_ref[5, :] += rew
+    out_ref[6, :] += done.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'n_steps', 'n_substeps', 'dt', 'draw_actions', 'constrained',
+    'randomized_reset', 'rew_exponential', 'done_on_oob'))
+def cartpole_rollout_pallas(state0, cfg, seed, n_steps: int, n_substeps: int,
+                            dt: float, actions=None, draw_actions: bool = True,
+                            constrained: bool = False,
+                            randomized_reset: bool = True,
+                            rew_exponential: bool = True,
+                            done_on_oob: bool = True):
+    """Run ``n_steps`` full cartpole control steps in one kernel launch.
+
+    Args:
+        state0: (B, 4) f32 initial states.
+        cfg: (CARTPOLE_CFG_LEN,) f32 config vector (see ``_C``).
+        seed: int32 scalar PRNG seed.
+        actions: optional (n_steps, B) f32 raw actions; required when
+            ``draw_actions`` is False (validation/replay mode). With
+            ``draw_actions`` True, actions are drawn iid uniform
+            [ACT_LO, ACT_HI] on-core.
+
+    Returns:
+        dict with ``state`` (B, 4) final states, ``ctrl_step`` (B,),
+        ``reward_sum`` / ``done_count`` / ``violation_count`` (B,) per-env
+        accumulators over the whole rollout.
+    """
+    B = state0.shape[0]
+    blk = jnp.zeros((_ROWS, B), jnp.float32).at[0:4, :].set(state0.T)
+    cfg2d = cfg.reshape(1, -1).astype(jnp.float32)
+    seed1d = jnp.asarray(seed, jnp.int32).reshape(1)
+    if draw_actions:
+        acts = jnp.zeros((8, B), jnp.float32)
+        act_index = lambda i: (0, 0)
+        act_block = (8, B)
+    else:
+        pad = (-n_steps) % 8  # blocks are (8, B): sublane-tile aligned
+        acts = jnp.pad(actions.astype(jnp.float32), ((0, pad), (0, 0)))
+        act_index = lambda i: (i // 8, 0)
+        act_block = (8, B)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _cartpole_rollout_kernel, n_substeps=n_substeps, dt=dt,
+            draw_actions=draw_actions, constrained=constrained,
+            randomized_reset=randomized_reset,
+            rew_exponential=rew_exponential, done_on_oob=done_on_oob),
+        out_shape=jax.ShapeDtypeStruct((_ROWS, B), jnp.float32),
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((1, cfg2d.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((_ROWS, B), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(act_block, act_index, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_ROWS, B), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )(cfg2d, seed1d, blk, acts)
+    return {'state': out[0:4, :].T, 'ctrl_step': out[4, :],
+            'reward_sum': out[5, :], 'done_count': out[6, :],
+            'violation_count': out[7, :]}
+
+
+def cartpole_rollout_cfg(env):
+    """Build the kernel cfg vector from a constructed CartPole env.
+
+    Gated on the configurations the kernel reproduces exactly; raises
+    ValueError otherwise so callers fall back to the per-step scan.
+    """
+    import numpy as np
+
+    from safe_control_gym_tpu.envs.benchmark_env import Cost, Task
+    if env.TASK != Task.STABILIZATION or env.COST != Cost.RL_REWARD:
+        raise ValueError('fused rollout supports stabilization + rl_reward')
+    if env.RANDOMIZED_INERTIAL_PROP or env.adversary_disturbance:
+        raise ValueError('fused rollout needs fixed params, no adversary')
+    if env.obs_wrap_angle:
+        raise ValueError('fused rollout assumes raw-angle state obs')
+    cfg = np.zeros(CARTPOLE_CFG_LEN, np.float32)
+    cfg[_C['POLE_MASS']] = env.POLE_MASS
+    cfg[_C['CART_MASS']] = env.CART_MASS
+    cfg[_C['POLE_LEN']] = env.EFFECTIVE_POLE_LENGTH
+    cfg[_C['GRAVITY']] = env.GRAVITY_ACC
+    cfg[_C['ACT_LO']] = env.action_space.low[0]
+    cfg[_C['ACT_HI']] = env.action_space.high[0]
+    cfg[_C['ACT_SCALE']] = (env.action_scale
+                            if env.NORMALIZED_RL_ACTION_SPACE else 1.0)
+    cfg[_C['PHYS_LO']] = env.physical_action_bounds[0][0]
+    cfg[_C['PHYS_HI']] = env.physical_action_bounds[1][0]
+    cfg[_C['GOAL']:_C['GOAL'] + 4] = np.atleast_2d(env.X_GOAL)[0]
+    tol = float(env.TASK_INFO.get('stabilization_goal_tolerance', 0.0))
+    cfg[_C['TOL_SQ']] = tol * tol
+    cfg[_C['X_THRESH']] = env.x_threshold
+    cfg[_C['TH_THRESH']] = env.theta_threshold_radians
+    cfg[_C['MAX_STEPS']] = env.CTRL_STEPS
+    w_a = np.atleast_1d(env.rew_act_weight)
+    cfg[_C['W_ACT']] = w_a[0]
+    w_s = np.atleast_1d(env.rew_state_weight)
+    cfg[_C['W_STATE']:_C['W_STATE'] + 4] = (
+        w_s if w_s.size == 4 else np.full(4, w_s[0]))
+    nominal = np.array([env.INIT_X, env.INIT_X_DOT, env.INIT_THETA,
+                        env.INIT_THETA_DOT], np.float32)
+    lo, hi = nominal.copy(), nominal.copy()
+    if env.RANDOMIZED_INIT:
+        spec = env.INIT_STATE_RAND_INFO
+        for k, name in enumerate(('init_x', 'init_x_dot', 'init_theta',
+                                  'init_theta_dot')):
+            info = spec[name]
+            if info.get('distrib') != 'uniform':
+                raise ValueError('fused rollout: uniform init rand only')
+            lo[k] += info['low']
+            hi[k] += info['high']
+    cfg[_C['INIT_LO']:_C['INIT_LO'] + 4] = lo
+    cfg[_C['INIT_HI']:_C['INIT_HI'] + 4] = hi
+    cfg[_C['CON_HI']:_C['CON_HI'] + 4] = env.state_space.high
+    return jnp.asarray(cfg)
+
+
+# ---------------------------------------------------------------------------
+# Quadrotor 2D / 3D
+# ---------------------------------------------------------------------------
+# One shared cfg layout for both quad types, sized for the 3D case
+# (nx=12, nu=4); the 2D kernel reads the first nx/nu entries of each group.
+def _quad_layout():
+    names = [('MASS', 1), ('IXX', 1), ('IYY', 1), ('IZZ', 1), ('ARM_L', 1),
+             ('GRAVITY', 1), ('KF', 1), ('KM', 1), ('PWM_SCALE', 1),
+             ('PWM_CONST', 1), ('PWM_MIN', 1), ('PWM_MAX', 1),
+             ('ACT_LO', 1), ('ACT_HI', 1), ('DEN_A', 1), ('DEN_B', 1),
+             ('PHYS_LO', 1), ('PHYS_HI', 1),
+             ('GOAL', 12), ('TOL_SQ', 1), ('MAX_STEPS', 1),
+             ('U_GOAL', 4), ('W_ACT', 4), ('NOISE_STD', 1),
+             ('W_STATE', 12), ('INIT_LO', 12), ('INIT_HI', 12),
+             ('CON_LO', 12), ('CON_HI', 12)]
+    layout, off = {}, 0
+    for name, size in names:
+        layout[name] = off
+        off += size
+    return layout, off
+
+
+_Q, QUAD_CFG_LEN = _quad_layout()
+
+# (state rows, action dims, motors summed per command, oob-masked state
+# dims — position/angle coordinates, quadrotor.py:698-708.)
+_QUAD_SHAPE = {
+    2: dict(nx=6, nu=2, n_motor=2, oob_dims=(0, 2, 4)),
+    3: dict(nx=12, nu=4, n_motor=1, oob_dims=(0, 2, 4, 6, 7, 8)),
+}
+
+
+def _quad_rollout_kernel(cfg_ref, seed_ref, state0_ref, act_ref, out_ref, *,
+                         quad_type, n_substeps, dt, draw_actions, constrained,
+                         randomized_reset, rew_exponential, done_on_oob):
+    """Shared 2D/3D quad rollout step. Out rows: 0..nx-1 state, 12 ctrl
+    step, 13 reward acc, 14 done count, 15 violation count."""
+    shape = _QUAD_SHAPE[quad_type]
+    nx, nu, n_motor = shape['nx'], shape['nu'], shape['n_motor']
+    i = pl.program_id(0)
+    B = out_ref.shape[1]
+
+    @pl.when(i == 0)
+    def _init():
+        out_ref[:] = state0_ref[:]
+
+    n_rnd = (nu if draw_actions else 0) + (nu if constrained else 0) \
+        + (nx if randomized_reset else 0)
+    if n_rnd:
+        pltpu.prng_seed(seed_ref[0] + i)
+        rnd = _uniform01((n_rnd, B))
+    row = 0
+
+    c = lambda k, off=0: cfg_ref[0, _Q[k] + off]
+
+    state = [out_ref[k, :] for k in range(nx)]
+    step = out_ref[12, :]
+
+    # -- action pipeline (quadrotor.py:766-775 + white noise + clip) --
+    if draw_actions:
+        raw = [c('ACT_LO') + rnd[row + d, :] * (c('ACT_HI') - c('ACT_LO'))
+               for d in range(nu)]
+        row += nu
+    else:
+        block = act_ref[pl.ds(i % 8, 1), :]
+        raw = [block[0, d * B:(d + 1) * B] for d in range(nu)]
+    phys = [c('DEN_A') * a + c('DEN_B') for a in raw]
+    noisy = phys
+    if constrained:
+        normals = []
+        for k in range(0, nu, 2):
+            u1, u2 = rnd[row + k, :], rnd[row + k + 1, :]
+            r = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
+            normals += [r * jnp.cos(_TWO_PI * u2), r * jnp.sin(_TWO_PI * u2)]
+        row += nu
+        noisy = [a + c('NOISE_STD') * n for a, n in zip(phys, normals)]
+    clipped = [jnp.clip(a, c('PHYS_LO'), c('PHYS_HI')) for a in noisy]
+
+    # -- motor model: cmd -> pwm -> rpm -> forces (dynamics.py:266-293) --
+    inv_nkf = 1.0 / (n_motor * c('KF'))
+    inv_scale = 1.0 / c('PWM_SCALE')
+    rpm = []
+    for a in clipped:
+        pwm = (jnp.sqrt(jnp.maximum(a, 0.0) * inv_nkf) - c('PWM_CONST')) \
+            * inv_scale
+        pwm = jnp.clip(pwm, c('PWM_MIN'), c('PWM_MAX'))
+        rpm.append(c('PWM_SCALE') * pwm + c('PWM_CONST'))
+
+    if quad_type == 2:
+        # Pair thrusts: pwm pairing [m0, m1, m1, m0] (dynamics.py:279)
+        # makes T1 = 2 f(m0), T2 = 2 f(m1); torque-free z axis.
+        T1 = 2.0 * c('KF') * rpm[0] * rpm[0]
+        T2 = 2.0 * c('KF') * rpm[1] * rpm[1]
+        x, xd, z, zd, th, thd = quad2d_substeps(
+            state[0], state[1], state[2], state[3], state[4], state[5],
+            T1, T2, 0.0, 0.0, c('MASS'), c('IYY'), c('ARM_L'), c('GRAVITY'),
+            n_substeps, dt)
+        new_state = [x, xd, z, zd, th, thd]
+    else:
+        forces = tuple(c('KF') * r * r for r in rpm)
+        torques = [c('KM') * r * r for r in rpm]
+        zt = -torques[0] + torques[1] - torques[2] + torques[3]
+        zero = jnp.zeros((B,), jnp.float32)
+        new_state = list(quad3d_substeps(
+            tuple(state), forces, zt, (zero, zero, zero),
+            c('MASS'), c('IXX'), c('IYY'), c('IZZ'), c('ARM_L'),
+            c('GRAVITY'), n_substeps, dt))
+
+    # -- reward: quadratic on state error AND action error vs U_GOAL,
+    # no angle wrap (quadrotor.py:819-845) --
+    dist = 0.0
+    goal_sq = 0.0
+    for k in range(nx):
+        e = new_state[k] - c('GOAL', k)
+        dist = dist + c('W_STATE', k) * e * e
+        goal_sq = goal_sq + e * e
+    for d in range(nu):
+        ae = noisy[d] - c('U_GOAL', d)
+        dist = dist + c('W_ACT', d) * ae * ae
+    rew = jnp.exp(-dist) if rew_exponential else -dist
+
+    # -- done: goal / masked position-angle oob / time limit --
+    done = goal_sq < c('TOL_SQ')
+    if done_on_oob:
+        for k in shape['oob_dims']:
+            done = jnp.logical_or(done, new_state[k] < c('CON_LO', k))
+            done = jnp.logical_or(done, new_state[k] > c('CON_HI', k))
+    new_step = step + 1.0
+    done = jnp.logical_or(done, new_step >= c('MAX_STEPS'))
+
+    if constrained:
+        viol = jnp.zeros((B,), bool)
+        for k in range(nx):
+            viol = jnp.logical_or(viol, new_state[k] < c('CON_LO', k))
+            viol = jnp.logical_or(viol, new_state[k] > c('CON_HI', k))
+        out_ref[15, :] += viol.astype(jnp.float32)
+
+    # -- batched auto-reset --
+    for k in range(nx):
+        if randomized_reset:
+            fresh = c('INIT_LO', k) + rnd[row + k, :] \
+                * (c('INIT_HI', k) - c('INIT_LO', k))
+        else:
+            fresh = jnp.full((B,), c('INIT_LO', k))
+        out_ref[k, :] = jnp.where(done, fresh, new_state[k])
+    out_ref[12, :] = jnp.where(done, 0.0, new_step)
+    out_ref[13, :] += rew
+    out_ref[14, :] += done.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'quad_type', 'n_steps', 'n_substeps', 'dt', 'draw_actions',
+    'constrained', 'randomized_reset', 'rew_exponential', 'done_on_oob'))
+def _quad_rollout_pallas(state0, cfg, seed, quad_type: int, n_steps: int,
+                         n_substeps: int, dt: float, actions=None,
+                         draw_actions: bool = True, constrained: bool = False,
+                         randomized_reset: bool = True,
+                         rew_exponential: bool = True,
+                         done_on_oob: bool = True):
+    B, nx = state0.shape
+    nu = _QUAD_SHAPE[quad_type]['nu']
+    blk = jnp.zeros((16, B), jnp.float32).at[0:nx, :].set(state0.T)
+    cfg2d = cfg.reshape(1, -1).astype(jnp.float32)
+    seed1d = jnp.asarray(seed, jnp.int32).reshape(1)
+    if draw_actions:
+        acts = jnp.zeros((8, nu * B), jnp.float32)
+        act_index = lambda i: (0, 0)
+    else:
+        pad = (-n_steps) % 8
+        # (T, nu, B) -> (T, nu*B): dim d occupies lanes [d*B, (d+1)*B).
+        acts = jnp.pad(actions.astype(jnp.float32).reshape(n_steps, nu * B),
+                       ((0, pad), (0, 0)))
+        act_index = lambda i: (i // 8, 0)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _quad_rollout_kernel, quad_type=quad_type, n_substeps=n_substeps,
+            dt=dt, draw_actions=draw_actions, constrained=constrained,
+            randomized_reset=randomized_reset,
+            rew_exponential=rew_exponential, done_on_oob=done_on_oob),
+        out_shape=jax.ShapeDtypeStruct((16, B), jnp.float32),
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((1, cfg2d.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((16, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, nu * B), act_index, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((16, B), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )(cfg2d, seed1d, blk, acts)
+    return {'state': out[0:nx, :].T, 'ctrl_step': out[12, :],
+            'reward_sum': out[13, :], 'done_count': out[14, :],
+            'violation_count': out[15, :]}
+
+
+def quad2d_rollout_pallas(state0, cfg, seed, n_steps, n_substeps, dt,
+                          **kw):
+    return _quad_rollout_pallas(state0, cfg, seed, 2, n_steps, n_substeps,
+                                dt, **kw)
+
+
+def quad3d_rollout_pallas(state0, cfg, seed, n_steps, n_substeps, dt,
+                          **kw):
+    return _quad_rollout_pallas(state0, cfg, seed, 3, n_steps, n_substeps,
+                                dt, **kw)
+
+
+def _quad_rollout_cfg(env):
+    import numpy as np
+
+    from safe_control_gym_tpu.envs.benchmark_env import Cost, Task
+    from safe_control_gym_tpu.envs.quadrotor import QuadType
+    if env.TASK != Task.STABILIZATION or env.COST != Cost.RL_REWARD:
+        raise ValueError('fused rollout supports stabilization + rl_reward')
+    if env.RANDOMIZED_INERTIAL_PROP or env.adversary_disturbance:
+        raise ValueError('fused rollout needs fixed params, no adversary')
+    if env.PHYSICS != 'pyb':
+        raise ValueError('fused rollout covers plain pyb physics only')
+    if env.QUAD_TYPE not in (QuadType.TWO_D, QuadType.THREE_D):
+        raise ValueError('fused rollout covers 2D/3D quads')
+    nx, nu = env.state_dim, env.action_dim
+    cfg = np.zeros(QUAD_CFG_LEN, np.float32)
+    for name, val in (('MASS', env.MASS), ('IXX', env.J[0, 0]),
+                      ('IYY', env.J[1, 1]), ('IZZ', env.J[2, 2]),
+                      ('ARM_L', env.L), ('GRAVITY', env.GRAVITY_ACC),
+                      ('KF', env.KF), ('KM', env.KM),
+                      ('PWM_SCALE', env.PWM2RPM_SCALE),
+                      ('PWM_CONST', env.PWM2RPM_CONST),
+                      ('PWM_MIN', env.MIN_PWM), ('PWM_MAX', env.MAX_PWM),
+                      ('ACT_LO', env.action_space.low[0]),
+                      ('ACT_HI', env.action_space.high[0]),
+                      ('PHYS_LO', env.physical_action_bounds[0][0]),
+                      ('PHYS_HI', env.physical_action_bounds[1][0]),
+                      ('TOL_SQ', float(env.TASK_INFO.get(
+                          'stabilization_goal_tolerance', 0.0)) ** 2),
+                      ('MAX_STEPS', env.CTRL_STEPS),
+                      ('NOISE_STD', 0.0)):
+        cfg[_Q[name]] = val
+    if env.NORMALIZED_RL_ACTION_SPACE:
+        cfg[_Q['DEN_A']] = env.norm_act_scale * env.hover_thrust
+        cfg[_Q['DEN_B']] = env.hover_thrust
+    else:
+        cfg[_Q['DEN_A']] = 1.0
+    cfg[_Q['GOAL']:_Q['GOAL'] + nx] = np.atleast_2d(env.X_GOAL)[0]
+    cfg[_Q['U_GOAL']:_Q['U_GOAL'] + nu] = env.U_GOAL
+    w_a = np.atleast_1d(env.rew_act_weight)
+    cfg[_Q['W_ACT']:_Q['W_ACT'] + nu] = (w_a if w_a.size == nu
+                                         else np.full(nu, w_a[0]))
+    w_s = np.atleast_1d(env.rew_state_weight)
+    cfg[_Q['W_STATE']:_Q['W_STATE'] + nx] = (w_s if w_s.size == nx
+                                             else np.full(nx, w_s[0]))
+    nominal = env._nominal_init_state()
+    lo, hi = nominal.copy(), nominal.copy()
+    if env.RANDOMIZED_INIT:
+        labels = env.INIT_STATE_LABELS[env.QUAD_TYPE]
+        for k, name in enumerate(labels):
+            info = env.INIT_STATE_RAND_INFO[name]
+            if info.get('distrib') != 'uniform':
+                raise ValueError('fused rollout: uniform init rand only')
+            lo[k] += info['low']
+            hi[k] += info['high']
+    cfg[_Q['INIT_LO']:_Q['INIT_LO'] + nx] = lo
+    cfg[_Q['INIT_HI']:_Q['INIT_HI'] + nx] = hi
+    cfg[_Q['CON_LO']:_Q['CON_LO'] + nx] = env.state_space.low
+    cfg[_Q['CON_HI']:_Q['CON_HI'] + nx] = env.state_space.high
+    return jnp.asarray(cfg)
+
+
+quad2d_rollout_cfg = _quad_rollout_cfg
+quad3d_rollout_cfg = _quad_rollout_cfg
