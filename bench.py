@@ -5,12 +5,15 @@ no GUI, ctrl 50 Hz / pyb 1000 Hz, random actions — where the reference
 reaches 24.73x realtime on cartpole (~1236.5 ctrl steps/s) and 9.28x on
 the quadrotor (~464 ctrl steps/s), single env, on an i7 CPU.
 
-Each workload runs as one jitted scan over 4096 vmapped envs: the entire
-(action pipeline -> 20 substeps -> reward/done/constraints -> auto-reset)
-control step is a single fused XLA program; the only host interaction is
-the final device_get. Long scans amortize the remote-dispatch tunnel
-(8192 steps for the cartpole headline; 4096 for the quadrotors to keep
-the full suite ~5 min).
+Each workload runs the entire T-step control loop — (action pipeline ->
+20 substeps -> reward/done/constraints -> batched auto-reset) per step —
+as ONE whole-rollout Pallas kernel launch (ops/rollout_kernels.py,
+grid=(T,), state resident in VMEM, actions/noise/resets drawn by the
+on-core PRNG; replay mode is equivalence-tested against the production
+per-step scan in tests/test_rollout_kernel.py). Where a configuration
+falls outside the kernel — or on the CPU fallback backend — the row
+falls back to the per-step fused-scan path (benchmark_suite.
+measure_batched); the emitted "path" field says which ran.
 
 Prints ONE JSON line PER SYSTEM x CONFIGURATION (6 lines): cartpole (the
 headline metric) first, then quadrotor 2D and 3D, each in the plain and
@@ -69,31 +72,48 @@ enable_persistent_compile_cache()
 N_ENVS = 4096
 CTRL_FREQ = 50
 
-# (system id, constrained+disturbed, timed scan length, timed reps,
+# (system id, constrained+disturbed, kernel rollout length, timed reps,
 #  reference speed-up row). Plain rows: README.md:182 (cartpole 24.73x) /
 # :188 (quadrotor 9.28x). Constrained rows — "with constraints &
 # disturbances" — README.md:183 (22.39x) / :189 (7.62x). The reference
 # publishes no 3D row; its 2D numbers are reused as the 3D baseline.
+# T=32768 amortizes the ~35 ms remote-tunnel round trip to a few % of
+# wall (the kernel's grid loop is T-independent to compile).
 SYSTEMS = [
-    ('cartpole', False, 8192, 5, 24.73),
-    ('cartpole', True, 8192, 3, 22.39),
-    ('quadrotor_2D', False, 4096, 3, 9.28),
-    ('quadrotor_2D', True, 4096, 2, 7.62),
-    ('quadrotor_3D', False, 4096, 3, 9.28),
-    ('quadrotor_3D', True, 4096, 2, 7.62),
+    ('cartpole', False, 32768, 3, 24.73),
+    ('cartpole', True, 32768, 3, 22.39),
+    ('quadrotor_2D', False, 32768, 3, 9.28),
+    ('quadrotor_2D', True, 32768, 3, 7.62),
+    ('quadrotor_3D', False, 32768, 3, 9.28),
+    ('quadrotor_3D', True, 32768, 3, 7.62),
 ]
+
+# Per-step fused-scan fallback lengths (the pre-round-4 protocol).
+SCAN_STEPS = {'cartpole': 8192, 'quadrotor_2D': 4096, 'quadrotor_3D': 4096}
 
 
 def main():
-    from safe_control_gym_tpu.experiments.benchmark_suite import \
-        measure_batched
+    from safe_control_gym_tpu.experiments.benchmark_suite import (
+        measure_batched, measure_rollout_kernel)
     for system, constrained, n_steps, n_reps, ref_speedup in SYSTEMS:
         suite_id = 'quadrotor' if system == 'quadrotor_2D' else system
-        if BACKEND == 'cpu-fallback':
-            n_steps, n_reps = 256, 1  # keep the fallback run bounded
-        _, steps_per_sec = measure_batched(
-            suite_id, constrained=constrained, batch=N_ENVS, n_steps=n_steps,
-            n_reps=n_reps)
+        extras = {}
+        path = 'fused-rollout-kernel'
+        if BACKEND == 'tpu':
+            try:
+                _, steps_per_sec, extras = measure_rollout_kernel(
+                    suite_id, constrained=constrained, batch=N_ENVS,
+                    n_steps=n_steps, n_reps=n_reps)
+            except ValueError:  # config outside the kernel's coverage
+                path = 'per-step-scan'
+        else:
+            path = 'per-step-scan'  # pltpu PRNG kernels are TPU-only
+        if path == 'per-step-scan':
+            n_steps = 256 if BACKEND == 'cpu-fallback' else SCAN_STEPS[system]
+            _, steps_per_sec = measure_batched(
+                suite_id, constrained=constrained, batch=N_ENVS,
+                n_steps=n_steps,
+                n_reps=1 if BACKEND == 'cpu-fallback' else n_reps)
         ref_sps = ref_speedup * CTRL_FREQ
         label = ('env steps/sec/chip' if BACKEND == 'tpu'
                  else 'env steps/sec (CPU FALLBACK - TPU unreachable)')
@@ -106,6 +126,8 @@ def main():
             'unit': 'ctrl steps/s',
             'vs_baseline': round(steps_per_sec / ref_sps, 1),
             'backend': BACKEND,
+            'path': path,
+            **{k: round(v, 3) for k, v in extras.items()},
         }), flush=True)
 
 

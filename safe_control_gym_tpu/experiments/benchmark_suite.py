@@ -92,6 +92,77 @@ def measure_single_env(system, constrained, n_steps=2000):
     return sim_time / wall, steps / wall
 
 
+def measure_rollout_kernel(system, constrained, batch=4096, n_steps=32768,
+                           n_reps=3):
+    """Whole-rollout Pallas kernel — the full open-loop workload in ONE
+    kernel launch (ops/rollout_kernels.py).
+
+    Same semantics as ``measure_batched``'s workload (action pipeline,
+    20 substeps, reward/done/constraints, batched auto-reset; replay mode
+    is equivalence-tested against ``FuncEnv.step_autoreset`` in
+    tests/test_rollout_kernel.py) but with zero per-step dispatch: the
+    state lives in VMEM across ``grid=(T,)`` steps and the on-core PRNG
+    draws actions/noise/resets. Raises ValueError for env configurations
+    the kernel does not cover (callers fall back to ``measure_batched``).
+
+    Returns ``(speedup, steps_per_sec, extras)`` where ``steps_per_sec``
+    is the end-to-end amortized rate (includes the one dispatch+fetch
+    round trip — the honest wall-clock number) and ``extras`` carries the
+    device-only two-point-slope rate plus episode-statistics sanity
+    values from the warm-up run.
+    """
+    from safe_control_gym_tpu.ops import rollout_kernels as rk
+    env = make(system.replace('_3D', ''), **_env_kwargs(system, constrained))
+    cfg_fn, roll_fn, cidx = {
+        'cartpole': (rk.cartpole_rollout_cfg, rk.cartpole_rollout_pallas,
+                     rk._C),
+        'quadrotor': (rk.quad2d_rollout_cfg, rk.quad2d_rollout_pallas,
+                      rk._Q),
+        'quadrotor_3D': (rk.quad3d_rollout_cfg, rk.quad3d_rollout_pallas,
+                         rk._Q),
+    }[system]
+    cfg = cfg_fn(env)  # ValueError when the config is outside the kernel
+    if constrained:
+        std = float(jnp.atleast_1d(
+            env.disturbances['action'].disturbances[0].std)[0])
+        cfg = cfg.at[cidx['NOISE_STD']].set(std)
+    states, _ = jax.jit(lambda k: env.func.reset_batch(k, batch))(
+        jax.random.PRNGKey(0))
+    state0 = states.state
+    kw = dict(n_substeps=env.PYB_STEPS_PER_CTRL, dt=env.PYB_TIMESTEP,
+              draw_actions=True, constrained=constrained,
+              randomized_reset=bool(env.RANDOMIZED_INIT))
+
+    def timed(t_steps):
+        out = roll_fn(state0, cfg, 1, n_steps=t_steps, **kw)
+        warm = (float(out['done_count'].mean()),
+                float(out['reward_sum'].mean()),
+                float(out['violation_count'].mean()))
+        best = float('inf')
+        for i in range(n_reps):
+            t0 = time.perf_counter()
+            out = roll_fn(state0, cfg, 2 + i, n_steps=t_steps, **kw)
+            # MUST fetch a value: bare block_until_ready measured
+            # unreliable for pallas outputs on the remote axon backend
+            # (returns while the device still computes).
+            float(jnp.sum(out['reward_sum']))
+            best = min(best, time.perf_counter() - t0)
+        return best, warm
+
+    t_short, _ = timed(n_steps // 8)
+    t_long, (dc, rs, vc) = timed(n_steps)
+    env.close()
+    # Sanity: episodes terminate/reset and rewards land in (0, T].
+    assert dc > 0 and 0 < rs <= n_steps, (system, constrained, dc, rs)
+    slope = (t_long - t_short) / (n_steps - n_steps // 8)
+    steps_per_sec = batch * n_steps / t_long
+    sim_time = batch * n_steps * env.CTRL_TIMESTEP
+    extras = dict(device_slope_steps_per_sec=batch / slope,
+                  mean_done_count=dc, mean_reward_sum=rs,
+                  mean_violation_count=vc)
+    return sim_time / t_long, steps_per_sec, extras
+
+
 def measure_batched(system, constrained, batch=4096, n_steps=4096,
                     n_reps=3, unroll=1):
     """Batched fused rollout — the TPU-native operating point.

@@ -101,7 +101,8 @@ _ROWS = 8
 
 def _cartpole_rollout_kernel(cfg_ref, seed_ref, state0_ref, act_ref, out_ref,
                              *, n_substeps, dt, draw_actions, constrained,
-                             randomized_reset, rew_exponential, done_on_oob):
+                             action_noise, randomized_reset, rew_exponential,
+                             done_on_oob):
     i = pl.program_id(0)
     B = out_ref.shape[1]
 
@@ -109,7 +110,7 @@ def _cartpole_rollout_kernel(cfg_ref, seed_ref, state0_ref, act_ref, out_ref,
     def _init():
         out_ref[:] = state0_ref[:]
 
-    if draw_actions or constrained or randomized_reset:
+    if draw_actions or action_noise or randomized_reset:
         # Per-step reseed: deterministic in (seed, step), independent across
         # steps — PRNG state need not survive grid iterations. (Gated so the
         # deterministic replay path contains no PRNG ops and runs under the
@@ -134,7 +135,7 @@ def _cartpole_rollout_kernel(cfg_ref, seed_ref, state0_ref, act_ref, out_ref,
         raw = act_ref[pl.ds(i % 8, 1), :][0, :]
     phys = raw * c('ACT_SCALE')
     noisy = phys
-    if constrained:  # white-noise action disturbance, N(0, std)
+    if action_noise:  # white-noise action disturbance, N(0, std)
         noisy = phys + c('NOISE_STD') * _standard_normal(rnd[1, :], rnd[2, :])
     force = jnp.clip(noisy, c('PHYS_LO'), c('PHYS_HI'))
 
@@ -168,11 +169,17 @@ def _cartpole_rollout_kernel(cfg_ref, seed_ref, state0_ref, act_ref, out_ref,
 
     if constrained:
         # Default state box (A=[-I;I] against state_space bounds,
-        # constraints.py:168-197); the clipped input never exceeds its box.
+        # constraints.py:184-197) + default INPUT box on the NOISY
+        # pre-clip action — the production step evaluates
+        # constraints.values_from(x_new, noisy) (benchmark_env step_impl),
+        # so the white-noise disturbance CAN push the input outside its
+        # physical bounds even though the applied force is clipped.
         viol = (jnp.abs(x) > c('CON_HI', 0))
         viol = jnp.logical_or(viol, jnp.abs(xd) > c('CON_HI', 1))
         viol = jnp.logical_or(viol, jnp.abs(th) > c('CON_HI', 2))
         viol = jnp.logical_or(viol, jnp.abs(thd) > c('CON_HI', 3))
+        viol = jnp.logical_or(viol, noisy > c('PHYS_HI'))
+        viol = jnp.logical_or(viol, noisy < c('PHYS_LO'))
         out_ref[7, :] += viol.astype(jnp.float32)
 
     # -- batched auto-reset: additive-uniform fresh states --
@@ -192,10 +199,11 @@ def _cartpole_rollout_kernel(cfg_ref, seed_ref, state0_ref, act_ref, out_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     'n_steps', 'n_substeps', 'dt', 'draw_actions', 'constrained',
-    'randomized_reset', 'rew_exponential', 'done_on_oob'))
+    'action_noise', 'randomized_reset', 'rew_exponential', 'done_on_oob'))
 def cartpole_rollout_pallas(state0, cfg, seed, n_steps: int, n_substeps: int,
                             dt: float, actions=None, draw_actions: bool = True,
                             constrained: bool = False,
+                            action_noise: bool = None,
                             randomized_reset: bool = True,
                             rew_exponential: bool = True,
                             done_on_oob: bool = True):
@@ -209,12 +217,20 @@ def cartpole_rollout_pallas(state0, cfg, seed, n_steps: int, n_substeps: int,
             ``draw_actions`` is False (validation/replay mode). With
             ``draw_actions`` True, actions are drawn iid uniform
             [ACT_LO, ACT_HI] on-core.
+        constrained: count state/input box-constraint violations per env
+            (the reference's "with constraints & disturbances" rows).
+        action_noise: draw the NOISE_STD white-noise action disturbance
+            on-core. Defaults to ``constrained``; pass False with
+            ``constrained`` True for a PRNG-free replay run that still
+            counts violations (CPU-interpreter equivalence tests).
 
     Returns:
         dict with ``state`` (B, 4) final states, ``ctrl_step`` (B,),
         ``reward_sum`` / ``done_count`` / ``violation_count`` (B,) per-env
         accumulators over the whole rollout.
     """
+    if action_noise is None:
+        action_noise = constrained
     B = state0.shape[0]
     blk = jnp.zeros((_ROWS, B), jnp.float32).at[0:4, :].set(state0.T)
     cfg2d = cfg.reshape(1, -1).astype(jnp.float32)
@@ -233,7 +249,7 @@ def cartpole_rollout_pallas(state0, cfg, seed, n_steps: int, n_substeps: int,
         functools.partial(
             _cartpole_rollout_kernel, n_substeps=n_substeps, dt=dt,
             draw_actions=draw_actions, constrained=constrained,
-            randomized_reset=randomized_reset,
+            action_noise=action_noise, randomized_reset=randomized_reset,
             rew_exponential=rew_exponential, done_on_oob=done_on_oob),
         out_shape=jax.ShapeDtypeStruct((_ROWS, B), jnp.float32),
         grid=(n_steps,),
@@ -342,7 +358,8 @@ _QUAD_SHAPE = {
 
 def _quad_rollout_kernel(cfg_ref, seed_ref, state0_ref, act_ref, out_ref, *,
                          quad_type, n_substeps, dt, draw_actions, constrained,
-                         randomized_reset, rew_exponential, done_on_oob):
+                         action_noise, randomized_reset, rew_exponential,
+                         done_on_oob):
     """Shared 2D/3D quad rollout step. Out rows: 0..nx-1 state, 12 ctrl
     step, 13 reward acc, 14 done count, 15 violation count."""
     shape = _QUAD_SHAPE[quad_type]
@@ -354,7 +371,7 @@ def _quad_rollout_kernel(cfg_ref, seed_ref, state0_ref, act_ref, out_ref, *,
     def _init():
         out_ref[:] = state0_ref[:]
 
-    n_rnd = (nu if draw_actions else 0) + (nu if constrained else 0) \
+    n_rnd = (nu if draw_actions else 0) + (nu if action_noise else 0) \
         + (nx if randomized_reset else 0)
     if n_rnd:
         pltpu.prng_seed(seed_ref[0] + i)
@@ -376,7 +393,7 @@ def _quad_rollout_kernel(cfg_ref, seed_ref, state0_ref, act_ref, out_ref, *,
         raw = [block[0, d * B:(d + 1) * B] for d in range(nu)]
     phys = [c('DEN_A') * a + c('DEN_B') for a in raw]
     noisy = phys
-    if constrained:
+    if action_noise:
         normals = []
         for k in range(0, nu, 2):
             u1, u2 = rnd[row + k, :], rnd[row + k + 1, :]
@@ -439,10 +456,17 @@ def _quad_rollout_kernel(cfg_ref, seed_ref, state0_ref, act_ref, out_ref, *,
     done = jnp.logical_or(done, new_step >= c('MAX_STEPS'))
 
     if constrained:
+        # Default state box + default INPUT box on the NOISY pre-clip
+        # commands (production evaluates values_from(x_new, noisy) —
+        # benchmark_env step_impl — with input bounds from
+        # physical_action_bounds, constraints.py:196-197).
         viol = jnp.zeros((B,), bool)
         for k in range(nx):
             viol = jnp.logical_or(viol, new_state[k] < c('CON_LO', k))
             viol = jnp.logical_or(viol, new_state[k] > c('CON_HI', k))
+        for d in range(nu):
+            viol = jnp.logical_or(viol, noisy[d] > c('PHYS_HI'))
+            viol = jnp.logical_or(viol, noisy[d] < c('PHYS_LO'))
         out_ref[15, :] += viol.astype(jnp.float32)
 
     # -- batched auto-reset --
@@ -460,13 +484,17 @@ def _quad_rollout_kernel(cfg_ref, seed_ref, state0_ref, act_ref, out_ref, *,
 
 @functools.partial(jax.jit, static_argnames=(
     'quad_type', 'n_steps', 'n_substeps', 'dt', 'draw_actions',
-    'constrained', 'randomized_reset', 'rew_exponential', 'done_on_oob'))
+    'constrained', 'action_noise', 'randomized_reset', 'rew_exponential',
+    'done_on_oob'))
 def _quad_rollout_pallas(state0, cfg, seed, quad_type: int, n_steps: int,
                          n_substeps: int, dt: float, actions=None,
                          draw_actions: bool = True, constrained: bool = False,
+                         action_noise: bool = None,
                          randomized_reset: bool = True,
                          rew_exponential: bool = True,
                          done_on_oob: bool = True):
+    if action_noise is None:
+        action_noise = constrained
     B, nx = state0.shape
     nu = _QUAD_SHAPE[quad_type]['nu']
     blk = jnp.zeros((16, B), jnp.float32).at[0:nx, :].set(state0.T)
@@ -486,7 +514,7 @@ def _quad_rollout_pallas(state0, cfg, seed, quad_type: int, n_steps: int,
         functools.partial(
             _quad_rollout_kernel, quad_type=quad_type, n_substeps=n_substeps,
             dt=dt, draw_actions=draw_actions, constrained=constrained,
-            randomized_reset=randomized_reset,
+            action_noise=action_noise, randomized_reset=randomized_reset,
             rew_exponential=rew_exponential, done_on_oob=done_on_oob),
         out_shape=jax.ShapeDtypeStruct((16, B), jnp.float32),
         grid=(n_steps,),
