@@ -94,18 +94,19 @@ SCAN_STEPS = {'cartpole': 8192, 'quadrotor_2D': 4096, 'quadrotor_3D': 4096}
 
 def main():
     from safe_control_gym_tpu.experiments.benchmark_suite import (
-        measure_batched, measure_rollout_kernel)
+        kernel_covers, measure_batched, measure_rollout_kernel)
     for system, constrained, n_steps, n_reps, ref_speedup in SYSTEMS:
         suite_id = 'quadrotor' if system == 'quadrotor_2D' else system
         extras = {}
-        path = 'fused-rollout-kernel'
-        if BACKEND == 'tpu':
-            try:
-                _, steps_per_sec, extras = measure_rollout_kernel(
-                    suite_id, constrained=constrained, batch=N_ENVS,
-                    n_steps=n_steps, n_reps=n_reps)
-            except ValueError:  # config outside the kernel's coverage
-                path = 'per-step-scan'
+        # Coverage gate = the cfg builder alone (probed via kernel_covers);
+        # errors from the actual kernel run PROPAGATE — a blanket
+        # except ValueError here once masked kernel regressions as
+        # 'config outside coverage' (ADVICE r4).
+        if BACKEND == 'tpu' and kernel_covers(suite_id, constrained):
+            path = 'fused-rollout-kernel'
+            _, steps_per_sec, extras = measure_rollout_kernel(
+                suite_id, constrained=constrained, batch=N_ENVS,
+                n_steps=n_steps, n_reps=n_reps)
         else:
             path = 'per-step-scan'  # pltpu PRNG kernels are TPU-only
         if path == 'per-step-scan':

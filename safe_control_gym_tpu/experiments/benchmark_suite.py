@@ -92,6 +92,27 @@ def measure_single_env(system, constrained, n_steps=2000):
     return sim_time / wall, steps / wall
 
 
+def kernel_covers(system, constrained):
+    """True when the whole-rollout kernel covers this benchmark config.
+
+    The documented coverage gate is the cfg builder (it raises ValueError
+    outside coverage); probing it separately lets callers fall back to the
+    per-step scan WITHOUT swallowing ValueErrors raised by the actual
+    kernel run (which would mask real regressions)."""
+    from safe_control_gym_tpu.ops import rollout_kernels as rk
+    env = make(system.replace('_3D', ''), **_env_kwargs(system, constrained))
+    try:
+        cfg_fn = {'cartpole': rk.cartpole_rollout_cfg,
+                  'quadrotor': rk.quad2d_rollout_cfg,
+                  'quadrotor_3D': rk.quad3d_rollout_cfg}[system]
+        cfg_fn(env)
+        return True
+    except ValueError:
+        return False
+    finally:
+        env.close()
+
+
 def measure_rollout_kernel(system, constrained, batch=4096, n_steps=32768,
                            n_reps=3):
     """Whole-rollout Pallas kernel — the full open-loop workload in ONE
@@ -113,54 +134,63 @@ def measure_rollout_kernel(system, constrained, batch=4096, n_steps=32768,
     """
     from safe_control_gym_tpu.ops import rollout_kernels as rk
     env = make(system.replace('_3D', ''), **_env_kwargs(system, constrained))
-    cfg_fn, roll_fn, cidx = {
-        'cartpole': (rk.cartpole_rollout_cfg, rk.cartpole_rollout_pallas,
-                     rk._C),
-        'quadrotor': (rk.quad2d_rollout_cfg, rk.quad2d_rollout_pallas,
-                      rk._Q),
-        'quadrotor_3D': (rk.quad3d_rollout_cfg, rk.quad3d_rollout_pallas,
-                         rk._Q),
-    }[system]
-    cfg = cfg_fn(env)  # ValueError when the config is outside the kernel
-    if constrained:
-        std = float(jnp.atleast_1d(
-            env.disturbances['action'].disturbances[0].std)[0])
-        cfg = cfg.at[cidx['NOISE_STD']].set(std)
-    states, _ = jax.jit(lambda k: env.func.reset_batch(k, batch))(
-        jax.random.PRNGKey(0))
-    state0 = states.state
-    kw = dict(n_substeps=env.PYB_STEPS_PER_CTRL, dt=env.PYB_TIMESTEP,
-              draw_actions=True, constrained=constrained,
-              randomized_reset=bool(env.RANDOMIZED_INIT))
+    try:
+        cfg_fn, roll_fn, cidx = {
+            'cartpole': (rk.cartpole_rollout_cfg, rk.cartpole_rollout_pallas,
+                         rk._C),
+            'quadrotor': (rk.quad2d_rollout_cfg, rk.quad2d_rollout_pallas,
+                          rk._Q),
+            'quadrotor_3D': (rk.quad3d_rollout_cfg, rk.quad3d_rollout_pallas,
+                             rk._Q),
+        }[system]
+        cfg = cfg_fn(env)  # ValueError when the config is outside the kernel
+        if constrained:
+            std = float(jnp.atleast_1d(
+                env.disturbances['action'].disturbances[0].std)[0])
+            cfg = cfg.at[cidx['NOISE_STD']].set(std)
+        states, _ = jax.jit(lambda k: env.func.reset_batch(k, batch))(
+            jax.random.PRNGKey(0))
+        state0 = states.state
+        kw = dict(n_substeps=env.PYB_STEPS_PER_CTRL, dt=env.PYB_TIMESTEP,
+                  draw_actions=True, constrained=constrained,
+                  randomized_reset=bool(env.RANDOMIZED_INIT))
 
-    def timed(t_steps):
-        out = roll_fn(state0, cfg, 1, n_steps=t_steps, **kw)
-        warm = (float(out['done_count'].mean()),
-                float(out['reward_sum'].mean()),
-                float(out['violation_count'].mean()))
-        best = float('inf')
-        for i in range(n_reps):
-            t0 = time.perf_counter()
-            out = roll_fn(state0, cfg, 2 + i, n_steps=t_steps, **kw)
-            # MUST fetch a value: bare block_until_ready measured
-            # unreliable for pallas outputs on the remote axon backend
-            # (returns while the device still computes).
-            float(jnp.sum(out['reward_sum']))
-            best = min(best, time.perf_counter() - t0)
-        return best, warm
+        def timed(t_steps):
+            # Warm-up run: absorbs the compile AND validates the episode
+            # statistics BEFORE any timing, so a broken kernel can never
+            # report numbers (explicit raise — asserts strip under -O).
+            out = roll_fn(state0, cfg, 1, n_steps=t_steps, **kw)
+            warm = (float(out['done_count'].mean()),
+                    float(out['reward_sum'].mean()),
+                    float(out['violation_count'].mean()))
+            dc, rs, _ = warm
+            if not (dc > 0 and 0 < rs <= t_steps):
+                raise RuntimeError(
+                    'rollout kernel sanity check failed: '
+                    f'{system} constrained={constrained} done_count={dc} '
+                    f'reward_sum={rs} over {t_steps} steps')
+            best = float('inf')
+            for i in range(n_reps):
+                t0 = time.perf_counter()
+                out = roll_fn(state0, cfg, 2 + i, n_steps=t_steps, **kw)
+                # MUST fetch a value: bare block_until_ready measured
+                # unreliable for pallas outputs on the remote axon backend
+                # (returns while the device still computes).
+                float(jnp.sum(out['reward_sum']))
+                best = min(best, time.perf_counter() - t0)
+            return best, warm
 
-    t_short, _ = timed(n_steps // 8)
-    t_long, (dc, rs, vc) = timed(n_steps)
-    env.close()
-    # Sanity: episodes terminate/reset and rewards land in (0, T].
-    assert dc > 0 and 0 < rs <= n_steps, (system, constrained, dc, rs)
-    slope = (t_long - t_short) / (n_steps - n_steps // 8)
-    steps_per_sec = batch * n_steps / t_long
-    sim_time = batch * n_steps * env.CTRL_TIMESTEP
-    extras = dict(device_slope_steps_per_sec=batch / slope,
-                  mean_done_count=dc, mean_reward_sum=rs,
-                  mean_violation_count=vc)
-    return sim_time / t_long, steps_per_sec, extras
+        t_short, _ = timed(n_steps // 8)
+        t_long, (dc, rs, vc) = timed(n_steps)
+        slope = (t_long - t_short) / (n_steps - n_steps // 8)
+        steps_per_sec = batch * n_steps / t_long
+        sim_time = batch * n_steps * env.CTRL_TIMESTEP
+        extras = dict(device_slope_steps_per_sec=batch / slope,
+                      mean_done_count=dc, mean_reward_sum=rs,
+                      mean_violation_count=vc)
+        return sim_time / t_long, steps_per_sec, extras
+    finally:
+        env.close()
 
 
 def measure_batched(system, constrained, batch=4096, n_steps=4096,

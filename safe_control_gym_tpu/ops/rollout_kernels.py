@@ -269,6 +269,36 @@ def cartpole_rollout_pallas(state0, cfg, seed, n_steps: int, n_substeps: int,
             'violation_count': out[7, :]}
 
 
+def _check_default_constraints(env):
+    """Validate that the env's constraint setup matches what the
+    ``constrained=True`` kernels hard-code: exactly the default state box
+    + default input box, counting only (no done-on-violation, no reward
+    penalty). Raises ValueError otherwise so callers fall back to the
+    per-step scan, completing the documented coverage gate."""
+    import numpy as np
+
+    from safe_control_gym_tpu.envs.constraints import DefaultConstraint
+    cl = env.constraints
+    if cl is None or not cl.constraints:
+        return
+    if env.DONE_ON_VIOLATION or env.use_constraint_penalty:
+        raise ValueError('fused rollout counts violations only; '
+                         'done_on_violation / constraint_penalty unsupported')
+    by_var = {c.constrained_variable.value: c for c in cl.constraints}
+    if len(cl.constraints) != 2 or set(by_var) != {'state', 'input'}:
+        raise ValueError('fused rollout supports exactly the default '
+                         'state-box + input-box constraints')
+    expected = {'state': (env.state_space.low, env.state_space.high),
+                'input': env.physical_action_bounds}
+    for var, con in by_var.items():
+        lo, hi = expected[var]
+        if (type(con) is not DefaultConstraint or con.strict
+                or not np.allclose(con.lower_bounds, lo)
+                or not np.allclose(con.upper_bounds, hi)):
+            raise ValueError('fused rollout supports only the unmodified '
+                             f'default {var} box constraint')
+
+
 def cartpole_rollout_cfg(env):
     """Build the kernel cfg vector from a constructed CartPole env.
 
@@ -282,6 +312,7 @@ def cartpole_rollout_cfg(env):
         raise ValueError('fused rollout supports stabilization + rl_reward')
     if env.RANDOMIZED_INERTIAL_PROP or env.adversary_disturbance:
         raise ValueError('fused rollout needs fixed params, no adversary')
+    _check_default_constraints(env)
     if env.obs_wrap_angle:
         raise ValueError('fused rollout assumes raw-angle state obs')
     cfg = np.zeros(CARTPOLE_CFG_LEN, np.float32)
@@ -558,6 +589,7 @@ def _quad_rollout_cfg(env):
         raise ValueError('fused rollout covers plain pyb physics only')
     if env.QUAD_TYPE not in (QuadType.TWO_D, QuadType.THREE_D):
         raise ValueError('fused rollout covers 2D/3D quads')
+    _check_default_constraints(env)
     nx, nu = env.state_dim, env.action_dim
     cfg = np.zeros(QUAD_CFG_LEN, np.float32)
     for name, val in (('MASS', env.MASS), ('IXX', env.J[0, 0]),
