@@ -29,8 +29,18 @@ but come from the TPU core PRNG, not the JAX threefry/rbg stream — the
 same equivalence the hoisted-RNG bench protocol already establishes
 (benchmark_suite.measure_batched).
 
-Closed-loop training CANNOT use this (the policy matmul sits between
-steps); RL keeps the per-step fused scan.
+CLOSED-LOOP rollouts run in the same launch by putting the policy
+network inside the kernel: a 2-hidden-layer MLP actor (the PPO/SAC/DDPG
+architecture, ppo_utils.init_actor_critic) evaluates as three MXU dots
+per grid step on the (rows, B) lane layout — obs-normalization folded
+into per-row scale/shift vectors, biases as (H, 1) lane-broadcasts,
+Gaussian exploration noise from the on-core PRNG. Pass ``policy_params``
+(via ``pack_policy_params``) to any rollout wrapper; the action source
+switches from PRNG/replay to the in-kernel policy while the rest of the
+step (action pipeline, physics, reward/done/constraints, auto-reset)
+is unchanged. This serves policy evaluation and RL rollout collection —
+the workloads the per-step scan ran at ~3x lower throughput
+(reference rollout machinery: subproc_vec_env.py:20-64, ppo.py:259-303).
 """
 
 from __future__ import annotations
@@ -49,7 +59,7 @@ from safe_control_gym_tpu.ops.pallas_kernels import (cartpole_substeps,
 __all__ = ['cartpole_rollout_pallas', 'cartpole_rollout_cfg',
            'quad2d_rollout_pallas', 'quad2d_rollout_cfg',
            'quad3d_rollout_pallas', 'quad3d_rollout_cfg',
-           'CARTPOLE_CFG_LEN']
+           'pack_policy_params', 'check_policy_obs', 'CARTPOLE_CFG_LEN']
 
 _TWO_PI = 6.283185307179586
 _INV_2PI = 1.0 / _TWO_PI
@@ -77,6 +87,98 @@ def _wrap_angle(th):
 
 
 # ---------------------------------------------------------------------------
+# In-kernel policy MLP (closed-loop rollouts)
+# ---------------------------------------------------------------------------
+# The actor is the PPO/SAC/DDPG architecture: obs -> 2 hidden layers ->
+# action mean (ppo_utils.init_actor_critic; reference MLPActorCritic,
+# ppo_utils.py:150-236). Eight VMEM refs, in order:
+#   nmean (ROWS, 1), ninv (ROWS, 1): obs normalization folded per block
+#     row — padded/accumulator rows carry ninv=0 so they contribute 0;
+#   w1 (H1, ROWS), b1 (H1, 1), w2 (H2, H1), b2 (H2, 1),
+#   w3 (8, H2), b3 (8, 1): weights transposed to (out, in), final layer
+#     padded to 8 output rows (sublane tile).
+_N_POLICY_REFS = 8
+
+
+def _mlp_fwd(blk, prefs, *, activation, clip_obs):
+    """(8, B) MLP outputs from a (ROWS, B) state block value.
+
+    Returns ``(out, obs_n)`` — the normalized input is reused by the
+    collect path (it is what the tape stores and what the critic sees).
+    Mosaic note: dots run at HIGHEST precision — the default truncates
+    f32 operands to bf16 (measured 2.4e-2 abs error on unit-scale data
+    vs 1.6e-4 at HIGHEST), which would make trajectories diverge from
+    the XLA policy path."""
+    nmean, ninv, w1, b1, w2, b2, w3, b3 = prefs
+    act = jnp.tanh if activation == 'tanh' else jax.nn.relu
+    obs = jnp.clip((blk - nmean[:]) * ninv[:], -clip_obs, clip_obs)
+    hi = jax.lax.Precision.HIGHEST
+    h = act(jnp.dot(w1[:], obs, preferred_element_type=jnp.float32,
+                    precision=hi) + b1[:])
+    h = act(jnp.dot(w2[:], h, preferred_element_type=jnp.float32,
+                    precision=hi) + b2[:])
+    return jnp.dot(w3[:], h, preferred_element_type=jnp.float32,
+                   precision=hi) + b3[:], obs
+
+
+def _policy_mean(out_ref, prefs, *, activation, clip_obs):
+    mu, _ = _mlp_fwd(out_ref[:], prefs, activation=activation,
+                     clip_obs=clip_obs)
+    return mu
+
+
+def pack_policy_params(actor_params, nx: int, rows: int, obs_mean=None,
+                       obs_var=None):
+    """Pack an actor MLP pytree (mlp_init layout: [{'w' (in, out), 'b'}]
+    x3) + optional frozen obs-normalizer stats into the kernel's ref
+    tuple. ``rows`` is the kernel block height (8 cartpole / 16 quad)."""
+    import numpy as np
+    if len(actor_params) != 3:
+        raise ValueError('policy-in-kernel supports exactly 2 hidden layers')
+    w1 = np.asarray(actor_params[0]['w'], np.float32).T     # (H1, nx)
+    if w1.shape[1] != nx:
+        raise ValueError(f'actor input dim {w1.shape[1]} != state dim {nx}')
+    h1, h2 = w1.shape[0], np.asarray(actor_params[1]['w']).shape[1]
+    nu = np.asarray(actor_params[2]['w']).shape[1]
+    w1p = np.zeros((h1, rows), np.float32)
+    w1p[:, :nx] = w1
+    w3p = np.zeros((8, h2), np.float32)
+    w3p[:nu] = np.asarray(actor_params[2]['w'], np.float32).T
+    b3p = np.zeros((8, 1), np.float32)
+    b3p[:nu, 0] = np.asarray(actor_params[2]['b'], np.float32)
+    nmean = np.zeros((rows, 1), np.float32)
+    ninv = np.zeros((rows, 1), np.float32)
+    if obs_mean is not None:
+        nmean[:nx, 0] = np.asarray(obs_mean, np.float32)
+        ninv[:nx, 0] = 1.0 / np.sqrt(np.asarray(obs_var, np.float32) + 1e-8)
+    else:
+        ninv[:nx, 0] = 1.0
+    return tuple(jnp.asarray(a) for a in (
+        nmean, ninv, w1p,
+        np.asarray(actor_params[0]['b'], np.float32).reshape(h1, 1),
+        np.asarray(actor_params[1]['w'], np.float32).T,
+        np.asarray(actor_params[1]['b'], np.float32).reshape(h2, 1),
+        w3p, b3p))
+
+
+def check_policy_obs(env):
+    """Closed-loop kernels feed the raw state to the policy; raise
+    ValueError for configs where obs != state so callers fall back."""
+    if env.disturbances.get('observation') is not None:
+        raise ValueError('policy-in-kernel rollout: no observation noise')
+    if getattr(env, 'obs_goal_horizon', 0):
+        raise ValueError('policy-in-kernel rollout: obs == state required '
+                         '(obs_goal_horizon unsupported)')
+    if getattr(env, 'obs_wrap_angle', False):
+        raise ValueError('policy-in-kernel rollout assumes raw-angle obs')
+
+
+def _policy_specs(prefs):
+    return [pl.BlockSpec(p.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            for p in prefs]
+
+
+# ---------------------------------------------------------------------------
 # CartPole
 # ---------------------------------------------------------------------------
 # cfg vector layout (SMEM, f32). Grouped: dynamics, action pipeline, task,
@@ -91,18 +193,22 @@ _C = dict(
     INIT_HI=23,        # 23..26: fresh-state high
     W_STATE=27,        # 27..30: reward state weights
     CON_HI=31,         # 31..34: symmetric state-box constraint bound
+    P_STD=35,          # 35..38: policy exploration std per action dim
 )
-CARTPOLE_CFG_LEN = 35
+CARTPOLE_CFG_LEN = 39
 
 # Output block rows (f32, lane = env): 0..3 state, 4 ctrl_step,
 # 5 reward accumulator, 6 done count, 7 constraint-violation count.
 _ROWS = 8
 
 
-def _cartpole_rollout_kernel(cfg_ref, seed_ref, state0_ref, act_ref, out_ref,
-                             *, n_substeps, dt, draw_actions, constrained,
+def _cartpole_rollout_kernel(cfg_ref, seed_ref, state0_ref, act_ref, *refs,
+                             n_substeps, dt, draw_actions, constrained,
                              action_noise, randomized_reset, rew_exponential,
-                             done_on_oob):
+                             done_on_oob, policy=False,
+                             policy_stochastic=False, policy_squash=False,
+                             policy_activation='tanh', clip_obs=1e30):
+    out_ref = refs[-1]
     i = pl.program_id(0)
     B = out_ref.shape[1]
 
@@ -110,7 +216,8 @@ def _cartpole_rollout_kernel(cfg_ref, seed_ref, state0_ref, act_ref, out_ref,
     def _init():
         out_ref[:] = state0_ref[:]
 
-    if draw_actions or action_noise or randomized_reset:
+    if draw_actions or action_noise or randomized_reset \
+            or (policy and policy_stochastic):
         # Per-step reseed: deterministic in (seed, step), independent across
         # steps — PRNG state need not survive grid iterations. (Gated so the
         # deterministic replay path contains no PRNG ops and runs under the
@@ -127,7 +234,20 @@ def _cartpole_rollout_kernel(cfg_ref, seed_ref, state0_ref, act_ref, out_ref,
     step = out_ref[4, :]
 
     # -- action pipeline (cartpole.py:479-530; step_impl in benchmark_env) --
-    if draw_actions:
+    if policy:
+        # Closed-loop: actor MLP on the current state (rows 0..3; the
+        # accumulator rows are killed by ninv=0 + zero w1 columns).
+        mu = _policy_mean(out_ref, refs[:_N_POLICY_REFS],
+                          activation=policy_activation, clip_obs=clip_obs)
+        raw = mu[0, :]
+        if policy_stochastic:
+            # Gaussian exploration (rnd rows 0/3 are free: draw_actions is
+            # off in policy mode and action-noise uses rows 1/2).
+            raw = raw + c('P_STD', 0) * _standard_normal(rnd[0, :],
+                                                         rnd[3, :])
+        if policy_squash:
+            raw = jnp.tanh(raw)
+    elif draw_actions:
         raw = c('ACT_LO') + rnd[0, :] * (c('ACT_HI') - c('ACT_LO'))
     else:
         # Actions stream in 8-row blocks (TPU sublane tiling); row i % 8
@@ -199,14 +319,20 @@ def _cartpole_rollout_kernel(cfg_ref, seed_ref, state0_ref, act_ref, out_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     'n_steps', 'n_substeps', 'dt', 'draw_actions', 'constrained',
-    'action_noise', 'randomized_reset', 'rew_exponential', 'done_on_oob'))
+    'action_noise', 'randomized_reset', 'rew_exponential', 'done_on_oob',
+    'policy_stochastic', 'policy_squash', 'policy_activation', 'clip_obs'))
 def cartpole_rollout_pallas(state0, cfg, seed, n_steps: int, n_substeps: int,
                             dt: float, actions=None, draw_actions: bool = True,
                             constrained: bool = False,
                             action_noise: bool = None,
                             randomized_reset: bool = True,
                             rew_exponential: bool = True,
-                            done_on_oob: bool = True):
+                            done_on_oob: bool = True,
+                            policy_params=None,
+                            policy_stochastic: bool = False,
+                            policy_squash: bool = False,
+                            policy_activation: str = 'tanh',
+                            clip_obs: float = 1e30):
     """Run ``n_steps`` full cartpole control steps in one kernel launch.
 
     Args:
@@ -223,6 +349,13 @@ def cartpole_rollout_pallas(state0, cfg, seed, n_steps: int, n_substeps: int,
             on-core. Defaults to ``constrained``; pass False with
             ``constrained`` True for a PRNG-free replay run that still
             counts violations (CPU-interpreter equivalence tests).
+        policy_params: optional ``pack_policy_params`` tuple — CLOSED
+            LOOP: actions come from the in-kernel actor MLP on the raw
+            state (requires obs == state, ``check_policy_obs``) instead
+            of PRNG draws / the replay stream. ``policy_stochastic`` adds
+            on-core N(0, P_STD) Gaussian exploration per dim;
+            ``policy_squash`` applies tanh to the (noisy) output (the SAC
+            convention); ``clip_obs`` bounds the normalized policy input.
 
     Returns:
         dict with ``state`` (B, 4) final states, ``ctrl_step`` (B,),
@@ -231,11 +364,15 @@ def cartpole_rollout_pallas(state0, cfg, seed, n_steps: int, n_substeps: int,
     """
     if action_noise is None:
         action_noise = constrained
+    policy = policy_params is not None
+    if policy:
+        assert not draw_actions and actions is None, \
+            'policy mode replaces the PRNG/replay action source'
     B = state0.shape[0]
     blk = jnp.zeros((_ROWS, B), jnp.float32).at[0:4, :].set(state0.T)
     cfg2d = cfg.reshape(1, -1).astype(jnp.float32)
     seed1d = jnp.asarray(seed, jnp.int32).reshape(1)
-    if draw_actions:
+    if draw_actions or policy:
         acts = jnp.zeros((8, B), jnp.float32)
         act_index = lambda i: (0, 0)
         act_block = (8, B)
@@ -244,13 +381,17 @@ def cartpole_rollout_pallas(state0, cfg, seed, n_steps: int, n_substeps: int,
         acts = jnp.pad(actions.astype(jnp.float32), ((0, pad), (0, 0)))
         act_index = lambda i: (i // 8, 0)
         act_block = (8, B)
+    prefs = tuple(policy_params) if policy else ()
 
     out = pl.pallas_call(
         functools.partial(
             _cartpole_rollout_kernel, n_substeps=n_substeps, dt=dt,
             draw_actions=draw_actions, constrained=constrained,
             action_noise=action_noise, randomized_reset=randomized_reset,
-            rew_exponential=rew_exponential, done_on_oob=done_on_oob),
+            rew_exponential=rew_exponential, done_on_oob=done_on_oob,
+            policy=policy, policy_stochastic=policy_stochastic,
+            policy_squash=policy_squash,
+            policy_activation=policy_activation, clip_obs=clip_obs),
         out_shape=jax.ShapeDtypeStruct((_ROWS, B), jnp.float32),
         grid=(n_steps,),
         in_specs=[
@@ -260,10 +401,11 @@ def cartpole_rollout_pallas(state0, cfg, seed, n_steps: int, n_substeps: int,
             pl.BlockSpec((_ROWS, B), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(act_block, act_index, memory_space=pltpu.VMEM),
+            *_policy_specs(prefs),
         ],
         out_specs=pl.BlockSpec((_ROWS, B), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-    )(cfg2d, seed1d, blk, acts)
+    )(cfg2d, seed1d, blk, acts, *prefs)
     return {'state': out[0:4, :].T, 'ctrl_step': out[4, :],
             'reward_sum': out[5, :], 'done_count': out[6, :],
             'violation_count': out[7, :]}
@@ -369,7 +511,7 @@ def _quad_layout():
              ('GOAL', 12), ('TOL_SQ', 1), ('MAX_STEPS', 1),
              ('U_GOAL', 4), ('W_ACT', 4), ('NOISE_STD', 1),
              ('W_STATE', 12), ('INIT_LO', 12), ('INIT_HI', 12),
-             ('CON_LO', 12), ('CON_HI', 12)]
+             ('CON_LO', 12), ('CON_HI', 12), ('P_STD', 4)]
     layout, off = {}, 0
     for name, size in names:
         layout[name] = off
@@ -387,14 +529,17 @@ _QUAD_SHAPE = {
 }
 
 
-def _quad_rollout_kernel(cfg_ref, seed_ref, state0_ref, act_ref, out_ref, *,
+def _quad_rollout_kernel(cfg_ref, seed_ref, state0_ref, act_ref, *refs,
                          quad_type, n_substeps, dt, draw_actions, constrained,
                          action_noise, randomized_reset, rew_exponential,
-                         done_on_oob):
+                         done_on_oob, policy=False, policy_stochastic=False,
+                         policy_squash=False, policy_activation='tanh',
+                         clip_obs=1e30):
     """Shared 2D/3D quad rollout step. Out rows: 0..nx-1 state, 12 ctrl
     step, 13 reward acc, 14 done count, 15 violation count."""
     shape = _QUAD_SHAPE[quad_type]
     nx, nu, n_motor = shape['nx'], shape['nu'], shape['n_motor']
+    out_ref = refs[-1]
     i = pl.program_id(0)
     B = out_ref.shape[1]
 
@@ -402,7 +547,9 @@ def _quad_rollout_kernel(cfg_ref, seed_ref, state0_ref, act_ref, out_ref, *,
     def _init():
         out_ref[:] = state0_ref[:]
 
-    n_rnd = (nu if draw_actions else 0) + (nu if action_noise else 0) \
+    n_rnd = (nu if draw_actions else 0) \
+        + (nu if policy and policy_stochastic else 0) \
+        + (nu if action_noise else 0) \
         + (nx if randomized_reset else 0)
     if n_rnd:
         pltpu.prng_seed(seed_ref[0] + i)
@@ -415,7 +562,23 @@ def _quad_rollout_kernel(cfg_ref, seed_ref, state0_ref, act_ref, out_ref, *,
     step = out_ref[12, :]
 
     # -- action pipeline (quadrotor.py:766-775 + white noise + clip) --
-    if draw_actions:
+    if policy:
+        mu = _policy_mean(out_ref, refs[:_N_POLICY_REFS],
+                          activation=policy_activation, clip_obs=clip_obs)
+        raw = [mu[d, :] for d in range(nu)]
+        if policy_stochastic:
+            normals = []
+            for k in range(0, nu, 2):
+                u1, u2 = rnd[row + k, :], rnd[row + k + 1, :]
+                r = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
+                normals += [r * jnp.cos(_TWO_PI * u2),
+                            r * jnp.sin(_TWO_PI * u2)]
+            row += nu
+            raw = [a + c('P_STD', d) * n
+                   for d, (a, n) in enumerate(zip(raw, normals))]
+        if policy_squash:
+            raw = [jnp.tanh(a) for a in raw]
+    elif draw_actions:
         raw = [c('ACT_LO') + rnd[row + d, :] * (c('ACT_HI') - c('ACT_LO'))
                for d in range(nu)]
         row += nu
@@ -516,22 +679,32 @@ def _quad_rollout_kernel(cfg_ref, seed_ref, state0_ref, act_ref, out_ref, *,
 @functools.partial(jax.jit, static_argnames=(
     'quad_type', 'n_steps', 'n_substeps', 'dt', 'draw_actions',
     'constrained', 'action_noise', 'randomized_reset', 'rew_exponential',
-    'done_on_oob'))
+    'done_on_oob', 'policy_stochastic', 'policy_squash',
+    'policy_activation', 'clip_obs'))
 def _quad_rollout_pallas(state0, cfg, seed, quad_type: int, n_steps: int,
                          n_substeps: int, dt: float, actions=None,
                          draw_actions: bool = True, constrained: bool = False,
                          action_noise: bool = None,
                          randomized_reset: bool = True,
                          rew_exponential: bool = True,
-                         done_on_oob: bool = True):
+                         done_on_oob: bool = True,
+                         policy_params=None,
+                         policy_stochastic: bool = False,
+                         policy_squash: bool = False,
+                         policy_activation: str = 'tanh',
+                         clip_obs: float = 1e30):
     if action_noise is None:
         action_noise = constrained
+    policy = policy_params is not None
+    if policy:
+        assert not draw_actions and actions is None, \
+            'policy mode replaces the PRNG/replay action source'
     B, nx = state0.shape
     nu = _QUAD_SHAPE[quad_type]['nu']
     blk = jnp.zeros((16, B), jnp.float32).at[0:nx, :].set(state0.T)
     cfg2d = cfg.reshape(1, -1).astype(jnp.float32)
     seed1d = jnp.asarray(seed, jnp.int32).reshape(1)
-    if draw_actions:
+    if draw_actions or policy:
         acts = jnp.zeros((8, nu * B), jnp.float32)
         act_index = lambda i: (0, 0)
     else:
@@ -540,13 +713,17 @@ def _quad_rollout_pallas(state0, cfg, seed, quad_type: int, n_steps: int,
         acts = jnp.pad(actions.astype(jnp.float32).reshape(n_steps, nu * B),
                        ((0, pad), (0, 0)))
         act_index = lambda i: (i // 8, 0)
+    prefs = tuple(policy_params) if policy else ()
 
     out = pl.pallas_call(
         functools.partial(
             _quad_rollout_kernel, quad_type=quad_type, n_substeps=n_substeps,
             dt=dt, draw_actions=draw_actions, constrained=constrained,
             action_noise=action_noise, randomized_reset=randomized_reset,
-            rew_exponential=rew_exponential, done_on_oob=done_on_oob),
+            rew_exponential=rew_exponential, done_on_oob=done_on_oob,
+            policy=policy, policy_stochastic=policy_stochastic,
+            policy_squash=policy_squash,
+            policy_activation=policy_activation, clip_obs=clip_obs),
         out_shape=jax.ShapeDtypeStruct((16, B), jnp.float32),
         grid=(n_steps,),
         in_specs=[
@@ -555,10 +732,11 @@ def _quad_rollout_pallas(state0, cfg, seed, quad_type: int, n_steps: int,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((16, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, nu * B), act_index, memory_space=pltpu.VMEM),
+            *_policy_specs(prefs),
         ],
         out_specs=pl.BlockSpec((16, B), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-    )(cfg2d, seed1d, blk, acts)
+    )(cfg2d, seed1d, blk, acts, *prefs)
     return {'state': out[0:nx, :].T, 'ctrl_step': out[12, :],
             'reward_sum': out[13, :], 'done_count': out[14, :],
             'violation_count': out[15, :]}
