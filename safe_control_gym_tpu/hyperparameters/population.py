@@ -106,7 +106,8 @@ def make_population_ppo_evaluator(env_func, rollout_batch_size=32,
                                   rollout_steps=64, iterations=20,
                                   opt_epochs=10, mini_batch_size=64,
                                   hidden_dim=64, activation='tanh',
-                                  use_gae=True, n_eval=5):
+                                  use_gae=True, n_eval=5,
+                                  mesh=None, axis_name='pop'):
     """Build ``evaluate(hp_arrays, keys) -> (B, n_eval) episode returns``.
 
     ``hp_arrays`` maps each name in ``VECTOR_HPS`` to a (B,) float array
@@ -115,6 +116,12 @@ def make_population_ppo_evaluator(env_func, rollout_batch_size=32,
     repetitions are expressed as extra lanes with the same hp row. The
     returned callable is jitted once; every call trains and evaluates all
     B hyperparameter draws in a single device program.
+
+    With ``mesh`` set, the POPULATION axis shards over
+    ``mesh.shape[axis_name]`` chips (trials are independent, so the SPMD
+    partition needs no collectives — each chip trains B/n_chips draws;
+    the study scales out linearly as long as B divides the mesh axis).
+    Witnessed by ``__graft_entry__.dryrun_multichip``.
     """
     env = env_func()
     func = env.func
@@ -273,10 +280,21 @@ def make_population_ppo_evaluator(env_func, rollout_batch_size=32,
                                length=eval_steps)
         return rews.sum(0)
 
-    batched = jax.jit(jax.vmap(train_and_eval))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        pop_sh = NamedSharding(mesh, P(axis_name))
+        batched = jax.jit(
+            jax.vmap(train_and_eval),
+            in_shardings=({k: pop_sh for k in VECTOR_HPS}, pop_sh),
+            out_shardings=pop_sh)
+    else:
+        batched = jax.jit(jax.vmap(train_and_eval))
 
     def evaluate(hp_arrays, keys):
         B = keys.shape[0]
+        if mesh is not None:
+            assert B % mesh.shape[axis_name] == 0, \
+                f'population {B} must divide the {axis_name} mesh axis'
         hp_full = {k: jnp.asarray(hp_arrays.get(k, np.full(B, defaults[k])),
                                   jnp.float32)
                    for k in VECTOR_HPS}
