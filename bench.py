@@ -15,10 +15,15 @@ falls outside the kernel — or on the CPU fallback backend — the row
 falls back to the per-step fused-scan path (benchmark_suite.
 measure_batched); the emitted "path" field says which ran.
 
-Prints ONE JSON line PER SYSTEM x CONFIGURATION (6 lines): cartpole (the
+Prints ONE JSON line PER SYSTEM x CONFIGURATION (9 lines): cartpole (the
 headline metric) first, then quadrotor 2D and 3D, each in the plain and
 the "with constraints & disturbances" configuration of the reference's
-README table: {"metric", "value", "unit", "vs_baseline"}.
+README table, then one CLOSED-LOOP row per system — the policy-in-kernel
+rollout (actor MLP + Gaussian exploration inside the same whole-rollout
+kernel), the workload RL collect/eval runs; its baseline is the same
+reference number (the reference's closed-loop rollout machinery is
+subprocess pipes at ~1.2k steps/s, strictly slower than its open-loop
+protocol): {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
@@ -92,9 +97,19 @@ SYSTEMS = [
 SCAN_STEPS = {'cartpole': 8192, 'quadrotor_2D': 4096, 'quadrotor_3D': 4096}
 
 
+# Closed-loop policy-in-kernel rows: (system id, rollout length, reps,
+# reference speed-up row reused as the baseline — see module docstring).
+CLOSED_LOOP = [
+    ('cartpole', 16384, 3, 24.73),
+    ('quadrotor_2D', 16384, 3, 9.28),
+    ('quadrotor_3D', 16384, 3, 9.28),
+]
+
+
 def main():
     from safe_control_gym_tpu.experiments.benchmark_suite import (
-        kernel_covers, measure_batched, measure_rollout_kernel)
+        kernel_covers, measure_batched, measure_closed_loop_kernel,
+        measure_rollout_kernel)
     for system, constrained, n_steps, n_reps, ref_speedup in SYSTEMS:
         suite_id = 'quadrotor' if system == 'quadrotor_2D' else system
         extras = {}
@@ -128,6 +143,24 @@ def main():
             'vs_baseline': round(steps_per_sec / ref_sps, 1),
             'backend': BACKEND,
             'path': path,
+            **{k: round(v, 3) for k, v in extras.items()},
+        }), flush=True)
+    if BACKEND != 'tpu':
+        return  # policy-in-kernel rollouts need the on-core PRNG
+    for system, n_steps, n_reps, ref_speedup in CLOSED_LOOP:
+        suite_id = 'quadrotor' if system == 'quadrotor_2D' else system
+        steps_per_sec, extras = measure_closed_loop_kernel(
+            suite_id, batch=N_ENVS, n_steps=n_steps, n_reps=n_reps)
+        print(json.dumps({
+            'metric': (f'{system} CLOSED-LOOP env steps/sec/chip '
+                       f'({N_ENVS} envs, ctrl 50Hz / pyb 1000Hz, '
+                       'stochastic MLP policy in-kernel)'),
+            'value': round(steps_per_sec, 1),
+            'unit': 'ctrl steps/s',
+            'vs_baseline': round(steps_per_sec / (ref_speedup * CTRL_FREQ),
+                                 1),
+            'backend': BACKEND,
+            'path': 'policy-in-kernel',
             **{k: round(v, 3) for k, v in extras.items()},
         }), flush=True)
 

@@ -399,15 +399,28 @@ class CartPole(BenchmarkEnv):
             jnp.abs(state[2]) > self.theta_threshold_radians)
 
     def _draw_state(self, ax):
-        """Draw cart + pole for render() frames."""
-        from matplotlib.patches import Rectangle
+        """Draw the actual scene — track, cart body, pole, axle, goal —
+        for render()/GUI frames (the PyBullet scene render's role,
+        cartpole.py:173-180)."""
+        from matplotlib.patches import Circle, Rectangle
         x, _, theta, _ = np.asarray(self.state)
         L = 2 * float(self.EFFECTIVE_POLE_LENGTH)
         ax.plot([-2.5, 2.5], [0, 0], 'k-', lw=1)
+        for thr in (-self.x_threshold, self.x_threshold):
+            ax.plot([thr, thr], [-0.08, 0.08], 'k:', lw=1)
+        if self.TASK == Task.TRAJ_TRACKING and np.ndim(self.X_GOAL) == 2:
+            ax.plot(self.X_GOAL[:, 0], np.full(self.X_GOAL.shape[0], -0.12),
+                    'g--', lw=0.8)
+            wp = min(int(self.ctrl_step_counter), self.X_GOAL.shape[0] - 1)
+            ax.plot([self.X_GOAL[wp, 0]], [-0.12], 'g^', ms=6)
+        else:
+            g = np.atleast_2d(self.X_GOAL)[0]
+            ax.plot([g[0]], [-0.12], 'g*', ms=10)
         ax.add_patch(Rectangle((x - 0.15, -0.05), 0.3, 0.1,
                                color='tab:blue'))
         ax.plot([x, x + L * np.sin(theta)], [0.05, 0.05 + L * np.cos(theta)],
-                'r-', lw=3)
+                'r-', lw=3, solid_capstyle='round')
+        ax.add_patch(Circle((x, 0.05), 0.03, color='k', zorder=3))
         ax.set_xlim(-2.6, 2.6)
         ax.set_ylim(-0.5, 1.5)
 

@@ -763,7 +763,10 @@ class Quadrotor(BenchmarkEnv):
         return frame
 
     def _draw_state(self, ax):
-        """Draw the quadrotor (xz plane projection) for render() frames."""
+        """Draw the actual scene — ground, CF2X frame with rotor disks,
+        goal — in the xz plane for render()/GUI frames (the PyBullet
+        scene render's role, base_aviary.py:333-347)."""
+        from matplotlib.patches import Circle
         s = np.asarray(self.state)
         if self.QUAD_TYPE == QuadType.ONE_D:
             x, z, th = 0.0, s[0], 0.0
@@ -771,16 +774,35 @@ class Quadrotor(BenchmarkEnv):
             x, z, th = s[0], s[2], s[4]
         else:
             x, z, th = s[0], s[4], s[7]
+        ax.axhspan(-0.2, 0.0, color='0.85', zorder=0)  # ground plane
+        ax.plot([-2.2, 2.2], [0, 0], 'k-', lw=1)
         arm = 0.12
+        r_rot = 0.045
         dx, dz = arm * np.cos(th), arm * np.sin(th)
-        ax.plot([x - dx, x + dx], [z + dz, z - dz], 'k-', lw=3)
-        ax.plot([x], [z], 'ro', ms=4)
+        ax.plot([x - dx, x + dx], [z + dz, z - dz], 'k-', lw=3,
+                solid_capstyle='round')
+        # Rotor disks at the arm tips (front red / rear blue, the CF2X
+        # LED orientation cue) drawn perpendicular to the body axis.
+        ux, uz = -np.sin(th), np.cos(th)  # body-up in the xz plane
+        for sgn, col in ((1.0, 'r'), (-1.0, 'b')):
+            cx, cz = x + sgn * dx, z - sgn * dz
+            ax.add_patch(Circle((cx + 0.02 * ux, cz + 0.02 * uz), r_rot,
+                                fill=False, color=col, lw=1.2, zorder=3))
+        ax.plot([x], [z], 'ko', ms=3)
         if self.TASK == Task.TRAJ_TRACKING and np.ndim(self.X_GOAL) == 2:
-            xi = 0 if self.QUAD_TYPE != QuadType.ONE_D else None
-            if self.QUAD_TYPE == QuadType.TWO_D:
+            if self.QUAD_TYPE == QuadType.ONE_D:
+                ax.plot(np.zeros(self.X_GOAL.shape[0]), self.X_GOAL[:, 0],
+                        'g--', lw=0.7)
+            elif self.QUAD_TYPE == QuadType.TWO_D:
                 ax.plot(self.X_GOAL[:, 0], self.X_GOAL[:, 2], 'g--', lw=0.7)
-            elif self.QUAD_TYPE == QuadType.THREE_D:
+            else:
                 ax.plot(self.X_GOAL[:, 0], self.X_GOAL[:, 4], 'g--', lw=0.7)
+        else:
+            g = np.atleast_2d(self.X_GOAL)[0]
+            gx, gz = {QuadType.ONE_D: (0.0, g[0]),
+                      QuadType.TWO_D: (g[0], g[2]),
+                      QuadType.THREE_D: (g[0], g[4])}[self.QUAD_TYPE]
+            ax.plot([gx], [gz], 'g*', ms=10)
         ax.set_xlim(-2.2, 2.2)
         ax.set_ylim(-0.2, 2.2)
 

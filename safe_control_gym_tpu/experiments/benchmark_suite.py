@@ -153,7 +153,8 @@ def measure_rollout_kernel(system, constrained, batch=4096, n_steps=32768,
         state0 = states.state
         kw = dict(n_substeps=env.PYB_STEPS_PER_CTRL, dt=env.PYB_TIMESTEP,
                   draw_actions=True, constrained=constrained,
-                  randomized_reset=bool(env.RANDOMIZED_INIT))
+                  randomized_reset=bool(env.RANDOMIZED_INIT),
+                  **rk.rollout_task_kwargs(env))
 
         def timed(t_steps):
             # Warm-up run: absorbs the compile AND validates the episode
@@ -189,6 +190,75 @@ def measure_rollout_kernel(system, constrained, batch=4096, n_steps=32768,
                       mean_done_count=dc, mean_reward_sum=rs,
                       mean_violation_count=vc)
         return sim_time / t_long, steps_per_sec, extras
+    finally:
+        env.close()
+
+
+def measure_closed_loop_kernel(system, batch=4096, n_steps=8192, n_reps=3,
+                               hidden=64):
+    """Closed-loop policy-in-kernel rollout — the RL collect/eval workload
+    (actor MLP forward + full env step per control step), stochastic
+    Gaussian exploration from the on-core PRNG: ONE kernel launch for the
+    whole T-step rollout (ops/rollout_kernels.py policy mode). This is
+    the workload class the per-step scan served at ~3x lower throughput
+    (reference rollout machinery: subproc_vec_env.py:20-64,
+    ppo.py:259-303, ~1.2k steps/s).
+
+    Returns ``(steps_per_sec, extras)`` like ``measure_rollout_kernel``.
+    """
+    import jax.numpy as jnp
+
+    from safe_control_gym_tpu.controllers.ppo.ppo_utils import \
+        init_actor_critic
+    from safe_control_gym_tpu.ops import rollout_kernels as rk
+    env = make(system.replace('_3D', ''), **_env_kwargs(system, False))
+    try:
+        nx, nu = env.state_dim, env.action_dim
+        params = init_actor_critic(jax.random.PRNGKey(0), nx, nu,
+                                   [hidden] * 2)
+        cfg_fn, roll_fn, rows, cidx = {
+            'cartpole': (rk.cartpole_rollout_cfg, rk.cartpole_rollout_pallas,
+                         8, rk._C),
+            'quadrotor': (rk.quad2d_rollout_cfg, rk.quad2d_rollout_pallas,
+                          16, rk._Q),
+            'quadrotor_3D': (rk.quad3d_rollout_cfg, rk.quad3d_rollout_pallas,
+                             16, rk._Q),
+        }[system]
+        cfg = cfg_fn(env)
+        rk.check_policy_obs(env)
+        std = jnp.exp(params['logstd'])
+        cfg = jax.lax.dynamic_update_slice(cfg, std, (cidx['P_STD'],))
+        prefs = rk.pack_policy_params(params['actor'], nx=nx, rows=rows)
+        states, _ = jax.jit(lambda k: env.func.reset_batch(k, batch))(
+            jax.random.PRNGKey(1))
+        state0 = states.state
+        kw = dict(n_substeps=env.PYB_STEPS_PER_CTRL, dt=env.PYB_TIMESTEP,
+                  draw_actions=False, randomized_reset=False,
+                  policy_params=prefs, policy_stochastic=True)
+
+        def timed(t_steps):
+            out = roll_fn(state0, cfg, 1, n_steps=t_steps, **kw)
+            warm = (float(out['done_count'].mean()),
+                    float(out['reward_sum'].mean()))
+            dc, rs = warm
+            if not (dc > 0 and 0 < rs <= t_steps):
+                raise RuntimeError(
+                    'closed-loop kernel sanity check failed: '
+                    f'{system} done_count={dc} reward_sum={rs}')
+            best = float('inf')
+            for i in range(n_reps):
+                t0 = time.perf_counter()
+                out = roll_fn(state0, cfg, 2 + i, n_steps=t_steps, **kw)
+                float(jnp.sum(out['reward_sum']))
+                best = min(best, time.perf_counter() - t0)
+            return best, warm
+
+        t_short, _ = timed(n_steps // 8)
+        t_long, (dc, rs) = timed(n_steps)
+        slope = (t_long - t_short) / (n_steps - n_steps // 8)
+        extras = dict(device_slope_steps_per_sec=batch / slope,
+                      mean_done_count=dc, mean_reward_sum=rs)
+        return batch * n_steps / t_long, extras
     finally:
         env.close()
 

@@ -13,6 +13,16 @@ Optuna is used when available, else the native TPE.
 Because training runs fully on-device, a complete PPO trial takes seconds —
 the HPO loop that needed a MySQL-coordinated cluster in the reference runs
 on one host.
+
+Dashboard substitution (reference hpo.py:233-234 starts an
+``optuna_dashboard.run_server`` against the MySQL study): this environment
+has neither optuna-dashboard nor MySQL, so live monitoring is replaced by
+artifacts with the same content — ``save_results``/``save_plots`` write
+trials.csv, optimization-history and parameter-importance plots after the
+study, and the SQLite study file (``database.py``) is a standard ``.db``
+any sqlite3 client can query DURING the run for live trial state (the
+population-vectorized path additionally obsoletes multi-process
+coordination on TPU: B trials train as one device program).
 """
 
 from __future__ import annotations

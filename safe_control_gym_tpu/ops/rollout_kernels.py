@@ -59,7 +59,8 @@ from safe_control_gym_tpu.ops.pallas_kernels import (cartpole_substeps,
 __all__ = ['cartpole_rollout_pallas', 'cartpole_rollout_cfg',
            'quad2d_rollout_pallas', 'quad2d_rollout_cfg',
            'quad3d_rollout_pallas', 'quad3d_rollout_cfg',
-           'pack_policy_params', 'check_policy_obs', 'CARTPOLE_CFG_LEN']
+           'pack_policy_params', 'check_policy_obs', 'rollout_task_kwargs',
+           'CARTPOLE_CFG_LEN']
 
 _TWO_PI = 6.283185307179586
 _INV_2PI = 1.0 / _TWO_PI
@@ -84,6 +85,65 @@ def _standard_normal(u1, u2):
 def _wrap_angle(th):
     """((th + pi) mod 2pi) - pi, floor-division semantics (rotations.py:25)."""
     return th - _TWO_PI * jnp.floor((th + jnp.pi) * _INV_2PI)
+
+
+def _gather_goal(xg_ref, idx):
+    """Per-lane time-indexed goal rows: ``out[:, b] = xg[:, idx[b]]``.
+
+    TRAJ_TRACKING needs each env's OWN waypoint (auto-resets desynchronize
+    the batch, so the grid index cannot serve as the time index). Mosaic
+    has no per-lane gather along the lane axis; instead the selection is
+    a one-hot MXU matmul — (rows, T) @ (T, B) with onehot[t, b] =
+    (t == idx[b]) — in 128-step chunks so the one-hot intermediate stays
+    at 128 x B f32 (2 MiB at B=4096) regardless of trajectory length.
+    Exact for integer-valued f32 indices < 2^24: the one-hot has a single
+    unit entry per column and the dot runs at HIGHEST precision.
+    """
+    rows, t_pad = xg_ref.shape
+    B = idx.shape[0]
+    hi = jax.lax.Precision.HIGHEST
+    idx_i = idx.astype(jnp.int32)  # integer-valued f32 step counts
+    acc = jnp.zeros((rows, B), jnp.float32)
+    for c0 in range(0, t_pad, 128):
+        # Mosaic iota is integer-only (tpu.iota rejects f32 results).
+        t_ids = jax.lax.broadcasted_iota(jnp.int32, (128, B), 0) + c0
+        onehot = (t_ids == idx_i[None, :]).astype(jnp.float32)
+        acc = acc + jnp.dot(xg_ref[:, c0:c0 + 128], onehot,
+                            preferred_element_type=jnp.float32, precision=hi)
+    return acc
+
+
+def _goal_table(x_goal, rows, nx):
+    """Pack a (T_ep, nx) tracking reference into a (rows, T_pad) VMEM
+    table (T on lanes, padded to the 128 lane tile). Returns
+    ``(args, specs, n_goal)`` to splice into the pallas_call."""
+    if x_goal is None:
+        return (), (), 1
+    n_goal = x_goal.shape[0]
+    if n_goal > 4096:
+        raise ValueError('fused rollout: tracking reference longer than '
+                         '4096 steps (unrolled gather chunks)')
+    t_pad = ((n_goal + 127) // 128) * 128
+    table = jnp.zeros((rows, t_pad), jnp.float32)
+    table = table.at[:nx, :n_goal].set(x_goal.astype(jnp.float32).T)
+    spec = pl.BlockSpec((rows, t_pad), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+    return (table,), (spec,), n_goal
+
+
+def rollout_task_kwargs(env):
+    """Extra rollout-wrapper kwargs for the env's task/cost mode:
+    ``x_goal`` for TRAJ_TRACKING, ``quadratic_cost`` for Cost.QUADRATIC.
+    Empty dict for stabilization + rl_reward (the default mode)."""
+    import numpy as np
+
+    from safe_control_gym_tpu.envs.benchmark_env import Cost, Task
+    kw = {}
+    if env.COST == Cost.QUADRATIC:
+        kw['quadratic_cost'] = True
+    if env.TASK == Task.TRAJ_TRACKING:
+        kw['x_goal'] = jnp.asarray(np.atleast_2d(env.X_GOAL), jnp.float32)
+    return kw
 
 
 # ---------------------------------------------------------------------------
@@ -194,8 +254,9 @@ _C = dict(
     W_STATE=27,        # 27..30: reward state weights
     CON_HI=31,         # 31..34: symmetric state-box constraint bound
     P_STD=35,          # 35..38: policy exploration std per action dim
+    U_GOAL=39,         # quadratic-cost action reference (cartpole.py U_GOAL)
 )
-CARTPOLE_CFG_LEN = 39
+CARTPOLE_CFG_LEN = 40
 
 # Output block rows (f32, lane = env): 0..3 state, 4 ctrl_step,
 # 5 reward accumulator, 6 done count, 7 constraint-violation count.
@@ -207,8 +268,13 @@ def _cartpole_rollout_kernel(cfg_ref, seed_ref, state0_ref, act_ref, *refs,
                              action_noise, randomized_reset, rew_exponential,
                              done_on_oob, policy=False,
                              policy_stochastic=False, policy_squash=False,
-                             policy_activation='tanh', clip_obs=1e30):
+                             policy_activation='tanh', clip_obs=1e30,
+                             tracking=False, quadratic_cost=False, n_goal=1):
     out_ref = refs[-1]
+    ref_i = 0
+    if tracking:
+        xg_ref = refs[0]  # (8, T_pad) goal table, rows 0..3 = X_GOAL.T
+        ref_i = 1
     i = pl.program_id(0)
     B = out_ref.shape[1]
 
@@ -237,7 +303,7 @@ def _cartpole_rollout_kernel(cfg_ref, seed_ref, state0_ref, act_ref, *refs,
     if policy:
         # Closed-loop: actor MLP on the current state (rows 0..3; the
         # accumulator rows are killed by ninv=0 + zero w1 columns).
-        mu = _policy_mean(out_ref, refs[:_N_POLICY_REFS],
+        mu = _policy_mean(out_ref, refs[ref_i:ref_i + _N_POLICY_REFS],
                           activation=policy_activation, clip_obs=clip_obs)
         raw = mu[0, :]
         if policy_stochastic:
@@ -266,20 +332,47 @@ def _cartpole_rollout_kernel(cfg_ref, seed_ref, state0_ref, act_ref, *refs,
         c('POLE_MASS'), c('CART_MASS'), c('POLE_LEN'), c('GRAVITY'),
         n_substeps, dt)
 
-    # -- reward: wrapped-angle quadratic, exponential (cartpole.py:611-635) --
-    e0 = x - c('GOAL', 0)
-    e1 = xd - c('GOAL', 1)
-    ew = _wrap_angle(th) - c('GOAL', 2)
-    e3 = thd - c('GOAL', 3)
-    dist = (c('W_STATE', 0) * e0 * e0 + c('W_STATE', 1) * e1 * e1
-            + c('W_STATE', 2) * ew * ew + c('W_STATE', 3) * e3 * e3
-            + c('W_ACT') * noisy * noisy)
-    rew = jnp.exp(-dist) if rew_exponential else -dist
+    # -- goal reference: constant (stabilization) or each env's OWN
+    # time-indexed waypoint (tracking; cartpole.py:611-652 reads
+    # X_GOAL[step + 1] for rl_reward and X_GOAL[step] for quadratic) --
+    if tracking:
+        inc = 0.0 if quadratic_cost else 1.0
+        idx = jnp.minimum(step + inc, float(n_goal - 1))
+        g = _gather_goal(xg_ref, idx)
+        g0, g1, g2, g3 = g[0, :], g[1, :], g[2, :], g[3, :]
+    else:
+        g0, g1, g2, g3 = (c('GOAL', 0), c('GOAL', 1), c('GOAL', 2),
+                          c('GOAL', 3))
 
-    # -- done: goal (unwrapped norm) / out-of-bounds / time limit --
-    e2 = th - c('GOAL', 2)
-    goal_sq = e0 * e0 + e1 * e1 + e2 * e2 + e3 * e3
-    done = goal_sq < c('TOL_SQ')
+    e0 = x - g0
+    e1 = xd - g1
+    e3 = thd - g3
+    if quadratic_cost:
+        # -symbolic loss: UNWRAPPED state error, CLIPPED-action error vs
+        # U_GOAL, never exponential (cartpole.py:636-652). W_STATE/W_ACT
+        # carry 0.5*diag(Q) / 0.5*diag(R) (cfg builder).
+        e2q = th - g2
+        du = force - c('U_GOAL')
+        rew = -(c('W_STATE', 0) * e0 * e0 + c('W_STATE', 1) * e1 * e1
+                + c('W_STATE', 2) * e2q * e2q + c('W_STATE', 3) * e3 * e3
+                + c('W_ACT') * du * du)
+    else:
+        # RL reward: wrapped-angle quadratic on the NOISY action,
+        # optionally exponential (cartpole.py:611-635).
+        ew = _wrap_angle(th) - g2
+        dist = (c('W_STATE', 0) * e0 * e0 + c('W_STATE', 1) * e1 * e1
+                + c('W_STATE', 2) * ew * ew + c('W_STATE', 3) * e3 * e3
+                + c('W_ACT') * noisy * noisy)
+        rew = jnp.exp(-dist) if rew_exponential else -dist
+
+    # -- done: goal (unwrapped norm, stabilization only) / out-of-bounds /
+    # time limit --
+    if tracking:
+        done = jnp.zeros((B,), bool)
+    else:
+        e2 = th - c('GOAL', 2)
+        goal_sq = e0 * e0 + e1 * e1 + e2 * e2 + e3 * e3
+        done = goal_sq < c('TOL_SQ')
     if done_on_oob:
         oob = jnp.logical_or(jnp.abs(x) > c('X_THRESH'),
                              jnp.abs(th) > c('TH_THRESH'))
@@ -320,7 +413,8 @@ def _cartpole_rollout_kernel(cfg_ref, seed_ref, state0_ref, act_ref, *refs,
 @functools.partial(jax.jit, static_argnames=(
     'n_steps', 'n_substeps', 'dt', 'draw_actions', 'constrained',
     'action_noise', 'randomized_reset', 'rew_exponential', 'done_on_oob',
-    'policy_stochastic', 'policy_squash', 'policy_activation', 'clip_obs'))
+    'policy_stochastic', 'policy_squash', 'policy_activation', 'clip_obs',
+    'quadratic_cost'))
 def cartpole_rollout_pallas(state0, cfg, seed, n_steps: int, n_substeps: int,
                             dt: float, actions=None, draw_actions: bool = True,
                             constrained: bool = False,
@@ -332,7 +426,9 @@ def cartpole_rollout_pallas(state0, cfg, seed, n_steps: int, n_substeps: int,
                             policy_stochastic: bool = False,
                             policy_squash: bool = False,
                             policy_activation: str = 'tanh',
-                            clip_obs: float = 1e30):
+                            clip_obs: float = 1e30,
+                            x_goal=None,
+                            quadratic_cost: bool = False):
     """Run ``n_steps`` full cartpole control steps in one kernel launch.
 
     Args:
@@ -356,6 +452,12 @@ def cartpole_rollout_pallas(state0, cfg, seed, n_steps: int, n_substeps: int,
             on-core N(0, P_STD) Gaussian exploration per dim;
             ``policy_squash`` applies tanh to the (noisy) output (the SAC
             convention); ``clip_obs`` bounds the normalized policy input.
+        x_goal: optional (T_ep, 4) f32 TRAJ_TRACKING reference — each env
+            reads its OWN time-indexed waypoint (one-hot MXU gather;
+            resets desynchronize the batch). None = stabilization.
+        quadratic_cost: Cost.QUADRATIC reward (-symbolic loss) instead of
+            the RL reward; W_STATE/W_ACT must carry 0.5*diag(Q)/(R) and
+            U_GOAL the action reference (``cartpole_rollout_cfg`` does).
 
     Returns:
         dict with ``state`` (B, 4) final states, ``ctrl_step`` (B,),
@@ -382,6 +484,8 @@ def cartpole_rollout_pallas(state0, cfg, seed, n_steps: int, n_substeps: int,
         act_index = lambda i: (i // 8, 0)
         act_block = (8, B)
     prefs = tuple(policy_params) if policy else ()
+    tracking = x_goal is not None
+    goal_args, goal_specs, n_goal = _goal_table(x_goal, _ROWS, 4)
 
     out = pl.pallas_call(
         functools.partial(
@@ -391,7 +495,8 @@ def cartpole_rollout_pallas(state0, cfg, seed, n_steps: int, n_substeps: int,
             rew_exponential=rew_exponential, done_on_oob=done_on_oob,
             policy=policy, policy_stochastic=policy_stochastic,
             policy_squash=policy_squash,
-            policy_activation=policy_activation, clip_obs=clip_obs),
+            policy_activation=policy_activation, clip_obs=clip_obs,
+            tracking=tracking, quadratic_cost=quadratic_cost, n_goal=n_goal),
         out_shape=jax.ShapeDtypeStruct((_ROWS, B), jnp.float32),
         grid=(n_steps,),
         in_specs=[
@@ -401,11 +506,12 @@ def cartpole_rollout_pallas(state0, cfg, seed, n_steps: int, n_substeps: int,
             pl.BlockSpec((_ROWS, B), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(act_block, act_index, memory_space=pltpu.VMEM),
+            *goal_specs,
             *_policy_specs(prefs),
         ],
         out_specs=pl.BlockSpec((_ROWS, B), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-    )(cfg2d, seed1d, blk, acts, *prefs)
+    )(cfg2d, seed1d, blk, acts, *goal_args, *prefs)
     return {'state': out[0:4, :].T, 'ctrl_step': out[4, :],
             'reward_sum': out[5, :], 'done_count': out[6, :],
             'violation_count': out[7, :]}
@@ -441,6 +547,23 @@ def _check_default_constraints(env):
                              f'default {var} box constraint')
 
 
+def _check_task_cost(env):
+    """Task/cost coverage gate shared by the cfg builders: stabilization
+    or traj-tracking, rl_reward or quadratic (diagonal Q/R) cost."""
+    import numpy as np
+
+    from safe_control_gym_tpu.envs.benchmark_env import Cost, Task
+    if env.TASK not in (Task.STABILIZATION, Task.TRAJ_TRACKING):
+        raise ValueError('fused rollout supports stabilization/tracking')
+    if env.COST not in (Cost.RL_REWARD, Cost.QUADRATIC):
+        raise ValueError('fused rollout supports rl_reward/quadratic cost')
+    if env.COST == Cost.QUADRATIC:
+        Q, R = np.asarray(env.Q), np.asarray(env.R)
+        if not (np.allclose(Q, np.diag(np.diag(Q)))
+                and np.allclose(R, np.diag(np.diag(R)))):
+            raise ValueError('fused rollout: diagonal Q/R only')
+
+
 def cartpole_rollout_cfg(env):
     """Build the kernel cfg vector from a constructed CartPole env.
 
@@ -450,8 +573,7 @@ def cartpole_rollout_cfg(env):
     import numpy as np
 
     from safe_control_gym_tpu.envs.benchmark_env import Cost, Task
-    if env.TASK != Task.STABILIZATION or env.COST != Cost.RL_REWARD:
-        raise ValueError('fused rollout supports stabilization + rl_reward')
+    _check_task_cost(env)
     if env.RANDOMIZED_INERTIAL_PROP or env.adversary_disturbance:
         raise ValueError('fused rollout needs fixed params, no adversary')
     _check_default_constraints(env)
@@ -468,17 +590,28 @@ def cartpole_rollout_cfg(env):
                             if env.NORMALIZED_RL_ACTION_SPACE else 1.0)
     cfg[_C['PHYS_LO']] = env.physical_action_bounds[0][0]
     cfg[_C['PHYS_HI']] = env.physical_action_bounds[1][0]
-    cfg[_C['GOAL']:_C['GOAL'] + 4] = np.atleast_2d(env.X_GOAL)[0]
-    tol = float(env.TASK_INFO.get('stabilization_goal_tolerance', 0.0))
-    cfg[_C['TOL_SQ']] = tol * tol
+    if env.TASK == Task.STABILIZATION:
+        cfg[_C['GOAL']:_C['GOAL'] + 4] = np.atleast_2d(env.X_GOAL)[0]
+        tol = float(env.TASK_INFO.get('stabilization_goal_tolerance', 0.0))
+        cfg[_C['TOL_SQ']] = tol * tol
+    # Tracking: GOAL/TOL_SQ unused — the time-indexed reference streams
+    # in via the wrapper's ``x_goal`` (rollout_task_kwargs).
     cfg[_C['X_THRESH']] = env.x_threshold
     cfg[_C['TH_THRESH']] = env.theta_threshold_radians
     cfg[_C['MAX_STEPS']] = env.CTRL_STEPS
-    w_a = np.atleast_1d(env.rew_act_weight)
-    cfg[_C['W_ACT']] = w_a[0]
-    w_s = np.atleast_1d(env.rew_state_weight)
-    cfg[_C['W_STATE']:_C['W_STATE'] + 4] = (
-        w_s if w_s.size == 4 else np.full(4, w_s[0]))
+    if env.COST == Cost.QUADRATIC:
+        # -symbolic loss: W_STATE/W_ACT carry 0.5*diag(Q)/(R)
+        # (cartpole.py:636-652; Q/R diagonal by construction,
+        # get_cost_weight_matrix).
+        cfg[_C['W_STATE']:_C['W_STATE'] + 4] = 0.5 * np.diag(env.Q)
+        cfg[_C['W_ACT']] = 0.5 * env.R[0, 0]
+        cfg[_C['U_GOAL']] = np.atleast_1d(env.U_GOAL)[0]
+    else:
+        w_a = np.atleast_1d(env.rew_act_weight)
+        cfg[_C['W_ACT']] = w_a[0]
+        w_s = np.atleast_1d(env.rew_state_weight)
+        cfg[_C['W_STATE']:_C['W_STATE'] + 4] = (
+            w_s if w_s.size == 4 else np.full(4, w_s[0]))
     nominal = np.array([env.INIT_X, env.INIT_X_DOT, env.INIT_THETA,
                         env.INIT_THETA_DOT], np.float32)
     lo, hi = nominal.copy(), nominal.copy()
@@ -534,12 +667,17 @@ def _quad_rollout_kernel(cfg_ref, seed_ref, state0_ref, act_ref, *refs,
                          action_noise, randomized_reset, rew_exponential,
                          done_on_oob, policy=False, policy_stochastic=False,
                          policy_squash=False, policy_activation='tanh',
-                         clip_obs=1e30):
+                         clip_obs=1e30, tracking=False, quadratic_cost=False,
+                         n_goal=1):
     """Shared 2D/3D quad rollout step. Out rows: 0..nx-1 state, 12 ctrl
     step, 13 reward acc, 14 done count, 15 violation count."""
     shape = _QUAD_SHAPE[quad_type]
     nx, nu, n_motor = shape['nx'], shape['nu'], shape['n_motor']
     out_ref = refs[-1]
+    ref_i = 0
+    if tracking:
+        xg_ref = refs[0]  # (16, T_pad) goal table, rows 0..nx-1 = X_GOAL.T
+        ref_i = 1
     i = pl.program_id(0)
     B = out_ref.shape[1]
 
@@ -563,7 +701,7 @@ def _quad_rollout_kernel(cfg_ref, seed_ref, state0_ref, act_ref, *refs,
 
     # -- action pipeline (quadrotor.py:766-775 + white noise + clip) --
     if policy:
-        mu = _policy_mean(out_ref, refs[:_N_POLICY_REFS],
+        mu = _policy_mean(out_ref, refs[ref_i:ref_i + _N_POLICY_REFS],
                           activation=policy_activation, clip_obs=clip_obs)
         raw = [mu[d, :] for d in range(nu)]
         if policy_stochastic:
@@ -627,21 +765,40 @@ def _quad_rollout_kernel(cfg_ref, seed_ref, state0_ref, act_ref, *refs,
             c('MASS'), c('IXX'), c('IYY'), c('IZZ'), c('ARM_L'),
             c('GRAVITY'), n_substeps, dt))
 
-    # -- reward: quadratic on state error AND action error vs U_GOAL,
-    # no angle wrap (quadrotor.py:819-845) --
+    # -- goal reference: constant (stabilization) or each env's OWN
+    # time-indexed waypoint (tracking reads X_GOAL[step + 1] for BOTH
+    # rl_reward and quadratic cost, quadrotor.py:819-862) --
+    if tracking:
+        idx = jnp.minimum(step + 1.0, float(n_goal - 1))
+        g = _gather_goal(xg_ref, idx)
+        goal = [g[k, :] for k in range(nx)]
+    else:
+        goal = [c('GOAL', k) for k in range(nx)]
+
+    # -- reward: quadratic on state error AND action error vs U_GOAL, no
+    # angle wrap (quadrotor.py:819-845); quadratic cost uses the CLIPPED
+    # action and is never exponential (:848-862, W_* = 0.5*diag(Q/R)) --
+    act_src = clipped if quadratic_cost else noisy
     dist = 0.0
     goal_sq = 0.0
     for k in range(nx):
-        e = new_state[k] - c('GOAL', k)
+        e = new_state[k] - goal[k]
         dist = dist + c('W_STATE', k) * e * e
         goal_sq = goal_sq + e * e
     for d in range(nu):
-        ae = noisy[d] - c('U_GOAL', d)
+        ae = act_src[d] - c('U_GOAL', d)
         dist = dist + c('W_ACT', d) * ae * ae
-    rew = jnp.exp(-dist) if rew_exponential else -dist
+    if quadratic_cost:
+        rew = -dist
+    else:
+        rew = jnp.exp(-dist) if rew_exponential else -dist
 
-    # -- done: goal / masked position-angle oob / time limit --
-    done = goal_sq < c('TOL_SQ')
+    # -- done: goal (stabilization only) / masked position-angle oob /
+    # time limit --
+    if tracking:
+        done = jnp.zeros((B,), bool)
+    else:
+        done = goal_sq < c('TOL_SQ')
     if done_on_oob:
         for k in shape['oob_dims']:
             done = jnp.logical_or(done, new_state[k] < c('CON_LO', k))
@@ -680,7 +837,7 @@ def _quad_rollout_kernel(cfg_ref, seed_ref, state0_ref, act_ref, *refs,
     'quad_type', 'n_steps', 'n_substeps', 'dt', 'draw_actions',
     'constrained', 'action_noise', 'randomized_reset', 'rew_exponential',
     'done_on_oob', 'policy_stochastic', 'policy_squash',
-    'policy_activation', 'clip_obs'))
+    'policy_activation', 'clip_obs', 'quadratic_cost'))
 def _quad_rollout_pallas(state0, cfg, seed, quad_type: int, n_steps: int,
                          n_substeps: int, dt: float, actions=None,
                          draw_actions: bool = True, constrained: bool = False,
@@ -692,7 +849,9 @@ def _quad_rollout_pallas(state0, cfg, seed, quad_type: int, n_steps: int,
                          policy_stochastic: bool = False,
                          policy_squash: bool = False,
                          policy_activation: str = 'tanh',
-                         clip_obs: float = 1e30):
+                         clip_obs: float = 1e30,
+                         x_goal=None,
+                         quadratic_cost: bool = False):
     if action_noise is None:
         action_noise = constrained
     policy = policy_params is not None
@@ -714,6 +873,8 @@ def _quad_rollout_pallas(state0, cfg, seed, quad_type: int, n_steps: int,
                        ((0, pad), (0, 0)))
         act_index = lambda i: (i // 8, 0)
     prefs = tuple(policy_params) if policy else ()
+    tracking = x_goal is not None
+    goal_args, goal_specs, n_goal = _goal_table(x_goal, 16, nx)
 
     out = pl.pallas_call(
         functools.partial(
@@ -723,7 +884,8 @@ def _quad_rollout_pallas(state0, cfg, seed, quad_type: int, n_steps: int,
             rew_exponential=rew_exponential, done_on_oob=done_on_oob,
             policy=policy, policy_stochastic=policy_stochastic,
             policy_squash=policy_squash,
-            policy_activation=policy_activation, clip_obs=clip_obs),
+            policy_activation=policy_activation, clip_obs=clip_obs,
+            tracking=tracking, quadratic_cost=quadratic_cost, n_goal=n_goal),
         out_shape=jax.ShapeDtypeStruct((16, B), jnp.float32),
         grid=(n_steps,),
         in_specs=[
@@ -732,11 +894,12 @@ def _quad_rollout_pallas(state0, cfg, seed, quad_type: int, n_steps: int,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((16, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, nu * B), act_index, memory_space=pltpu.VMEM),
+            *goal_specs,
             *_policy_specs(prefs),
         ],
         out_specs=pl.BlockSpec((16, B), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-    )(cfg2d, seed1d, blk, acts, *prefs)
+    )(cfg2d, seed1d, blk, acts, *goal_args, *prefs)
     return {'state': out[0:nx, :].T, 'ctrl_step': out[12, :],
             'reward_sum': out[13, :], 'done_count': out[14, :],
             'violation_count': out[15, :]}
@@ -759,8 +922,7 @@ def _quad_rollout_cfg(env):
 
     from safe_control_gym_tpu.envs.benchmark_env import Cost, Task
     from safe_control_gym_tpu.envs.quadrotor import QuadType
-    if env.TASK != Task.STABILIZATION or env.COST != Cost.RL_REWARD:
-        raise ValueError('fused rollout supports stabilization + rl_reward')
+    _check_task_cost(env)
     if env.RANDOMIZED_INERTIAL_PROP or env.adversary_disturbance:
         raise ValueError('fused rollout needs fixed params, no adversary')
     if env.PHYSICS != 'pyb':
@@ -782,7 +944,8 @@ def _quad_rollout_cfg(env):
                       ('PHYS_LO', env.physical_action_bounds[0][0]),
                       ('PHYS_HI', env.physical_action_bounds[1][0]),
                       ('TOL_SQ', float(env.TASK_INFO.get(
-                          'stabilization_goal_tolerance', 0.0)) ** 2),
+                          'stabilization_goal_tolerance', 0.0)) ** 2
+                       if env.TASK == Task.STABILIZATION else 0.0),
                       ('MAX_STEPS', env.CTRL_STEPS),
                       ('NOISE_STD', 0.0)):
         cfg[_Q[name]] = val
@@ -791,14 +954,22 @@ def _quad_rollout_cfg(env):
         cfg[_Q['DEN_B']] = env.hover_thrust
     else:
         cfg[_Q['DEN_A']] = 1.0
-    cfg[_Q['GOAL']:_Q['GOAL'] + nx] = np.atleast_2d(env.X_GOAL)[0]
+    if env.TASK == Task.STABILIZATION:
+        cfg[_Q['GOAL']:_Q['GOAL'] + nx] = np.atleast_2d(env.X_GOAL)[0]
+    # Tracking: GOAL/TOL_SQ unused — the time-indexed reference streams
+    # in via the wrapper's ``x_goal`` (rollout_task_kwargs).
     cfg[_Q['U_GOAL']:_Q['U_GOAL'] + nu] = env.U_GOAL
-    w_a = np.atleast_1d(env.rew_act_weight)
-    cfg[_Q['W_ACT']:_Q['W_ACT'] + nu] = (w_a if w_a.size == nu
-                                         else np.full(nu, w_a[0]))
-    w_s = np.atleast_1d(env.rew_state_weight)
-    cfg[_Q['W_STATE']:_Q['W_STATE'] + nx] = (w_s if w_s.size == nx
-                                             else np.full(nx, w_s[0]))
+    if env.COST == Cost.QUADRATIC:
+        # -symbolic loss weights: 0.5*diag(Q)/(R) (quadrotor.py:848-862).
+        cfg[_Q['W_STATE']:_Q['W_STATE'] + nx] = 0.5 * np.diag(env.Q)
+        cfg[_Q['W_ACT']:_Q['W_ACT'] + nu] = 0.5 * np.diag(env.R)
+    else:
+        w_a = np.atleast_1d(env.rew_act_weight)
+        cfg[_Q['W_ACT']:_Q['W_ACT'] + nu] = (w_a if w_a.size == nu
+                                             else np.full(nu, w_a[0]))
+        w_s = np.atleast_1d(env.rew_state_weight)
+        cfg[_Q['W_STATE']:_Q['W_STATE'] + nx] = (w_s if w_s.size == nx
+                                                 else np.full(nx, w_s[0]))
     nominal = env._nominal_init_state()
     lo, hi = nominal.copy(), nominal.copy()
     if env.RANDOMIZED_INIT:
