@@ -82,15 +82,16 @@ CTRL_FREQ = 50
 # :188 (quadrotor 9.28x). Constrained rows — "with constraints &
 # disturbances" — README.md:183 (22.39x) / :189 (7.62x). The reference
 # publishes no 3D row; its 2D numbers are reused as the 3D baseline.
-# T=32768 amortizes the ~35 ms remote-tunnel round trip to a few % of
-# wall (the kernel's grid loop is T-independent to compile).
+# T=131072 amortizes the ~35 ms remote-tunnel round trip below ~5% of
+# wall (the kernel's grid loop is T-independent to compile; at r04's
+# T=32768 the cartpole e2e rows were still ~28% below the device slope).
 SYSTEMS = [
-    ('cartpole', False, 32768, 3, 24.73),
-    ('cartpole', True, 32768, 3, 22.39),
-    ('quadrotor_2D', False, 32768, 3, 9.28),
-    ('quadrotor_2D', True, 32768, 3, 7.62),
-    ('quadrotor_3D', False, 32768, 3, 9.28),
-    ('quadrotor_3D', True, 32768, 3, 7.62),
+    ('cartpole', False, 131072, 3, 24.73),
+    ('cartpole', True, 131072, 3, 22.39),
+    ('quadrotor_2D', False, 131072, 3, 9.28),
+    ('quadrotor_2D', True, 131072, 3, 7.62),
+    ('quadrotor_3D', False, 131072, 3, 9.28),
+    ('quadrotor_3D', True, 131072, 3, 7.62),
 ]
 
 # Per-step fused-scan fallback lengths (the pre-round-4 protocol).
@@ -100,9 +101,9 @@ SCAN_STEPS = {'cartpole': 8192, 'quadrotor_2D': 4096, 'quadrotor_3D': 4096}
 # Closed-loop policy-in-kernel rows: (system id, rollout length, reps,
 # reference speed-up row reused as the baseline — see module docstring).
 CLOSED_LOOP = [
-    ('cartpole', 16384, 3, 24.73),
-    ('quadrotor_2D', 16384, 3, 9.28),
-    ('quadrotor_3D', 16384, 3, 9.28),
+    ('cartpole', 65536, 3, 24.73),
+    ('quadrotor_2D', 65536, 3, 9.28),
+    ('quadrotor_3D', 65536, 3, 9.28),
 ]
 
 

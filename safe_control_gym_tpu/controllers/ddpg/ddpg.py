@@ -210,9 +210,10 @@ class DDPG(BaseController):
                     self.buffer, self._ou_state, self._next_key(),
                     jnp.float32(noise_std))
                 self.agent.set_train_state(ts)
-                results = {'mean_reward': float(outs[0]),
-                           'policy_loss': float(outs[1]),
-                           'critic_loss': float(outs[2])}
+                o = jax.device_get(outs)  # one transfer, not three
+                results = {'mean_reward': float(o[0]),
+                           'policy_loss': float(o[1]),
+                           'critic_loss': float(o[2])}
                 self.total_steps += steps_per_iter * (fused_k - 1)
             else:
                 (self._env_states, self._obs, self.buffer, self._ou_state,

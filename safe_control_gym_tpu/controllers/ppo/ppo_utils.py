@@ -225,7 +225,8 @@ class PPOAgent:
         (self.params, self.actor_opt_state, self.critic_opt_state,
          results) = self._update_jit(self.params, self.actor_opt_state,
                                      self.critic_opt_state, batch, key)
-        return {k: float(v) for k, v in results.items()}
+        # ONE transfer for all scalars (remote-dispatch tunnel).
+        return {k: float(v) for k, v in jax.device_get(results).items()}
 
     # -- inference -------------------------------------------------------
     @functools.partial(jax.jit, static_argnums=0)

@@ -246,7 +246,8 @@ class SafeExplorerPPO(BaseController):
                 self.agent.params = params
                 self.agent.actor_opt_state = a_state
                 self.agent.critic_opt_state = c_state
-                results = {k: float(v) for k, v in outs.items()}
+                results = {k: float(v)
+                           for k, v in jax.device_get(outs).items()}
                 stats = {}
                 self.total_steps += steps_per_iter * fused_k
             else:
@@ -257,7 +258,8 @@ class SafeExplorerPPO(BaseController):
                                             self._c, self._next_key())
                 results = self.agent.update(batch, self._next_key())
                 self.total_steps += steps_per_iter
-            results.update({k: float(v) for k, v in stats.items()})
+            results.update({k: float(v)
+                            for k, v in jax.device_get(stats).items()})
             if self.log_interval and self.total_steps % self.log_interval < steps_per_iter:
                 for k, v in results.items():
                     self.logger.add_scalar(f'safe_ppo/{k}', v, self.total_steps)

@@ -23,6 +23,15 @@ cartpole.py:479-696):
   time-limit done -> box-constraint violation count -> batched
   auto-reset with additive-uniform init randomization.
 
+Task/cost coverage: STABILIZATION and TRAJ_TRACKING (each env gathers
+its OWN time-indexed waypoint — a chunked one-hot MXU matmul,
+``_gather_goal`` — so the gather stays correct after auto-resets
+desynchronize the batch), with RL_REWARD or QUADRATIC cost (diagonal
+Q/R; clipped-action error vs U_GOAL, never exponential). The cfg
+builders gate everything else (``_check_task_cost``,
+``_check_default_constraints``) so callers fall back to the per-step
+scan; ``rollout_task_kwargs`` supplies the tracking table / cost flag.
+
 RNG note: draws are distribution-identical to the production path (iid
 uniform actions / init offsets, iid Gaussian action noise via Box-Muller)
 but come from the TPU core PRNG, not the JAX threefry/rbg stream — the
