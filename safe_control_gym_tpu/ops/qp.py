@@ -143,12 +143,24 @@ def _admm_qp_body(P, q, A, l, u, x0, y0, rho, sigma, alpha, iters,
         rho_vec = jnp.where(eq_mask, rho_s * 1e3, rho_s)
         K = P + sigma * jnp.eye(n) + (A.T * rho_vec) @ A
         K = 0.5 * (K + K.T)
+        # Explicit inverse instead of per-iteration cho_solve: the two
+        # triangular solves per iteration are SEQUENTIAL n-step chains
+        # (measured: the batched solver runs at ~9 GFLOP/s, bound by
+        # those chains — tools/mfu_bench.py), while `Kinv @ rhs` is one
+        # (B, n, n) x (B, n) MXU contraction under vmap. The chains now
+        # run once per STAGE (inversion) instead of once per iteration.
+        # One Newton-Schulz step squares the inverse's residual
+        # (O((kappa*eps)^2) — K is equilibrated + sigma-regularized), and
+        # the active-set polish below remains the final-accuracy
+        # mechanism either way.
         chol = jax.scipy.linalg.cho_factor(K)
+        Kinv = jax.scipy.linalg.cho_solve(chol, jnp.eye(n, dtype=P.dtype))
+        Kinv = Kinv + Kinv @ (jnp.eye(n, dtype=P.dtype) - K @ Kinv)
 
         def body(_, carry):
             x, z, y = carry
             rhs = sigma * x - q + A.T @ (rho_vec * z - y)
-            x_new = jax.scipy.linalg.cho_solve(chol, rhs)
+            x_new = Kinv @ rhs
             Ax = A @ x_new
             Ax_relaxed = alpha * Ax + (1 - alpha) * z
             z_new = jnp.clip(Ax_relaxed + y / rho_vec, l, u)
