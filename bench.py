@@ -85,13 +85,17 @@ CTRL_FREQ = 50
 # T=131072 amortizes the ~35 ms remote-tunnel round trip below ~5% of
 # wall (the kernel's grid loop is T-independent to compile; at r04's
 # T=32768 the cartpole e2e rows were still ~28% below the device slope).
+# The last field marks the TRAJ_TRACKING row (circle reference; the
+# reference benchmarks only stabilization, so its cartpole row is reused
+# as the baseline — round-5 kernel coverage).
 SYSTEMS = [
-    ('cartpole', False, 131072, 3, 24.73),
-    ('cartpole', True, 131072, 3, 22.39),
-    ('quadrotor_2D', False, 131072, 3, 9.28),
-    ('quadrotor_2D', True, 131072, 3, 7.62),
-    ('quadrotor_3D', False, 131072, 3, 9.28),
-    ('quadrotor_3D', True, 131072, 3, 7.62),
+    ('cartpole', False, 131072, 3, 24.73, False),
+    ('cartpole', True, 131072, 3, 22.39, False),
+    ('quadrotor_2D', False, 131072, 3, 9.28, False),
+    ('quadrotor_2D', True, 131072, 3, 7.62, False),
+    ('quadrotor_3D', False, 131072, 3, 9.28, False),
+    ('quadrotor_3D', True, 131072, 3, 7.62, False),
+    ('cartpole', False, 131072, 3, 24.73, True),
 ]
 
 # Per-step fused-scan fallback lengths (the pre-round-4 protocol).
@@ -111,21 +115,23 @@ def main():
     from safe_control_gym_tpu.experiments.benchmark_suite import (
         kernel_covers, measure_batched, measure_closed_loop_kernel,
         measure_rollout_kernel)
-    for system, constrained, n_steps, n_reps, ref_speedup in SYSTEMS:
+    for system, constrained, n_steps, n_reps, ref_speedup, track in SYSTEMS:
         suite_id = 'quadrotor' if system == 'quadrotor_2D' else system
         extras = {}
         # Coverage gate = the cfg builder alone (probed via kernel_covers);
         # errors from the actual kernel run PROPAGATE — a blanket
         # except ValueError here once masked kernel regressions as
         # 'config outside coverage' (ADVICE r4).
-        if BACKEND == 'tpu' and kernel_covers(suite_id, constrained):
+        if BACKEND == 'tpu' and kernel_covers(suite_id, constrained, track):
             path = 'fused-rollout-kernel'
             _, steps_per_sec, extras = measure_rollout_kernel(
                 suite_id, constrained=constrained, batch=N_ENVS,
-                n_steps=n_steps, n_reps=n_reps)
+                n_steps=n_steps, n_reps=n_reps, tracking=track)
         else:
             path = 'per-step-scan'  # pltpu PRNG kernels are TPU-only
         if path == 'per-step-scan':
+            if track:
+                continue  # tracking row is kernel-only (no CPU fallback)
             n_steps = 256 if BACKEND == 'cpu-fallback' else SCAN_STEPS[system]
             _, steps_per_sec = measure_batched(
                 suite_id, constrained=constrained, batch=N_ENVS,
@@ -136,6 +142,8 @@ def main():
                  else 'env steps/sec (CPU FALLBACK - TPU unreachable)')
         workload = ('constraints+disturbances, random actions' if constrained
                     else 'random actions')
+        if track:
+            workload = 'TRAJ_TRACKING circle reference, random actions'
         print(json.dumps({
             'metric': (f'{system} {label} ({N_ENVS} envs, '
                        f'ctrl 50Hz / pyb 1000Hz, {workload})'),

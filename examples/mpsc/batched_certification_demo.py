@@ -4,7 +4,7 @@ fused device program.
 The reference runs one CasADi/qpOASES solve per `certify_action` call;
 here the whole tube-MPC certification (SQP + ADMM + active-set polish +
 omega validation) is a pure jittable function, so ``jax.vmap`` turns it
-into a batched safety filter — measured 362 certifications/s on a v5e at
+into a batched safety filter — measured 638 certifications/s on a v5e at
 B=256 vs 5.5/s for the sequential dispatch-bound path. This is what makes
 certified policy-evaluation sweeps and safety-filtered RL batches
 practical.

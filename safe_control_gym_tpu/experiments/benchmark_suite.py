@@ -51,7 +51,7 @@ CONSTRAINTS = {
 DISTURBANCES = {'action': [{'disturbance_func': 'white_noise', 'std': 0.1}]}
 
 
-def _env_kwargs(system, constrained):
+def _env_kwargs(system, constrained, tracking=False):
     kw = dict(seed=0, ctrl_freq=50, pyb_freq=1000, episode_len_sec=5)
     if system == 'quadrotor':
         kw.update(quad_type=2, randomized_init=False,
@@ -63,6 +63,15 @@ def _env_kwargs(system, constrained):
                   init_state={'init_z': 1.0},
                   task_info={'stabilization_goal': [0, 0, 1],
                              'stabilization_goal_tolerance': 0.0})
+    if tracking:
+        # The reference's tracking benchmark task (circle reference,
+        # e.g. examples/mpc/.../cartpole_track.yaml).
+        kw.update(task='traj_tracking', task_info={
+            'trajectory_type': 'circle', 'num_cycles': 1,
+            'trajectory_plane': 'zx',
+            'trajectory_position_offset': [0.5, 0] if system != 'cartpole'
+            else [0, 0],
+            'trajectory_scale': -0.5 if system != 'cartpole' else 0.2})
     if constrained:
         kw.update(constraints=CONSTRAINTS[system.replace('_3D', '')],
                   disturbances=DISTURBANCES)
@@ -92,7 +101,7 @@ def measure_single_env(system, constrained, n_steps=2000):
     return sim_time / wall, steps / wall
 
 
-def kernel_covers(system, constrained):
+def kernel_covers(system, constrained, tracking=False):
     """True when the whole-rollout kernel covers this benchmark config.
 
     The documented coverage gate is the cfg builder (it raises ValueError
@@ -100,7 +109,8 @@ def kernel_covers(system, constrained):
     per-step scan WITHOUT swallowing ValueErrors raised by the actual
     kernel run (which would mask real regressions)."""
     from safe_control_gym_tpu.ops import rollout_kernels as rk
-    env = make(system.replace('_3D', ''), **_env_kwargs(system, constrained))
+    env = make(system.replace('_3D', ''),
+               **_env_kwargs(system, constrained, tracking))
     try:
         cfg_fn = {'cartpole': rk.cartpole_rollout_cfg,
                   'quadrotor': rk.quad2d_rollout_cfg,
@@ -114,7 +124,7 @@ def kernel_covers(system, constrained):
 
 
 def measure_rollout_kernel(system, constrained, batch=4096, n_steps=32768,
-                           n_reps=3):
+                           n_reps=3, tracking=False):
     """Whole-rollout Pallas kernel — the full open-loop workload in ONE
     kernel launch (ops/rollout_kernels.py).
 
@@ -133,7 +143,8 @@ def measure_rollout_kernel(system, constrained, batch=4096, n_steps=32768,
     values from the warm-up run.
     """
     from safe_control_gym_tpu.ops import rollout_kernels as rk
-    env = make(system.replace('_3D', ''), **_env_kwargs(system, constrained))
+    env = make(system.replace('_3D', ''),
+               **_env_kwargs(system, constrained, tracking))
     try:
         cfg_fn, roll_fn, cidx = {
             'cartpole': (rk.cartpole_rollout_cfg, rk.cartpole_rollout_pallas,
