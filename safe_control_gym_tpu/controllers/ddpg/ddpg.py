@@ -191,6 +191,17 @@ class DDPG(BaseController):
     def select_action(self, obs, info=None):
         return self.agent.act(jnp.asarray(obs, jnp.float32))
 
+    def evaluate_fused(self, env=None, batch=1024, n_steps=4096, seed=0,
+                       **kwargs):
+        """Deterministic closed-loop evaluation over a ``batch``-env fleet
+        in one device program (policy-in-kernel on TPU, per-step scan
+        elsewhere); the fused analog of the reference's eval episodes
+        (ddpg.py:262-300). See ``experiments/fused_eval.py``."""
+        from safe_control_gym_tpu.experiments.fused_eval import \
+            evaluate_policy_fused
+        return evaluate_policy_fused(self, env=env, batch=batch,
+                                     n_steps=n_steps, seed=seed, **kwargs)
+
     # ------------------------------------------------------------------
     def learn(self, env=None, **kwargs):
         """Training loop (ddpg.py:230-341)."""

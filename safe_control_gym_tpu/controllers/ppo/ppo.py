@@ -284,6 +284,19 @@ class PPO(BaseController):
             obs = rms_normalize(self.obs_norm_state, obs, float(self.clip_obs))
         return self.agent.act(obs)
 
+    def evaluate_fused(self, env=None, batch=1024, n_steps=4096, seed=0,
+                       stochastic=False, **kwargs):
+        """Closed-loop policy evaluation over a ``batch``-env fleet in one
+        device program (policy-in-kernel on TPU, per-step scan elsewhere);
+        returns fleet episode statistics. The fused analog of the
+        reference's host eval loop (ppo.py:193-215 run / base_experiment
+        evaluation). See ``experiments/fused_eval.py``."""
+        from safe_control_gym_tpu.experiments.fused_eval import \
+            evaluate_policy_fused
+        return evaluate_policy_fused(self, env=env, batch=batch,
+                                     n_steps=n_steps, seed=seed,
+                                     stochastic=stochastic, **kwargs)
+
     # ------------------------------------------------------------------
     def learn(self, env=None, **kwargs):
         """Training loop (ppo.py:150-191)."""

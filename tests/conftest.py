@@ -57,6 +57,7 @@ _SMOKE = (
     'test_policy_rollout_kernel.py::'
     'test_cartpole_policy_rollout_matches_production',
     'test_controllers.py::test_lqr_cartpole_stabilization',
+    'test_fused_eval.py::test_ppo_scan_eval_runs_and_is_deterministic',
     'test_mpc.py::test_admm_qp_analytic',
     'test_safety_filters.py::test_cbf_passthrough_when_safe',
     'test_subproc_vec_env.py',

@@ -207,6 +207,40 @@ def _kernel_rates(env, system, constrained, seed, T):
             np.asarray(out['violation_count']) / T)
 
 
+def test_policy_eval_kernel_vs_scan_stats():
+    """The closed-loop policy-in-kernel path (the bench CLOSED-LOOP rows:
+    stochastic actor MLP in-kernel) is distribution-equivalent to the
+    per-step-scan path through the SAME public API
+    (``evaluate_policy_fused``): per-env episode statistics agree under a
+    Welch z-test. Stochastic mode makes the comparison robust to the
+    paths' different matmul precisions (exploration std ~0.6 dominates)
+    and is exactly what ``measure_closed_loop_kernel`` times."""
+    _require_tpu()
+    from functools import partial
+
+    from safe_control_gym_tpu.experiments.fused_eval import \
+        evaluate_policy_fused
+    from safe_control_gym_tpu.utils.registration import get_config, make
+    env_func = partial(make, 'cartpole', seed=7,
+                       normalized_rl_action_space=True)
+    ctrl = make('ppo', env_func, output_dir='/tmp/fused_eval_tpu', seed=0,
+                **get_config('ppo'))
+    try:
+        kw = dict(batch=B, n_steps=T_KERNEL, stochastic=True,
+                  return_per_env=True)
+        rk = evaluate_policy_fused(ctrl, seed=11, use_kernel=True, **kw)
+        rs = evaluate_policy_fused(ctrl, seed=23, use_kernel=False, **kw)
+        assert rk['path'] == 'policy-in-kernel'
+        assert rs['path'] == 'per-step-scan'
+        assert rk['episodes'] > 0 and rs['episodes'] > 0
+        _welch(rk['per_env']['reward_sum'], rs['per_env']['reward_sum'],
+               label='policy eval reward_sum')
+        _welch(rk['per_env']['done_count'], rs['per_env']['done_count'],
+               label='policy eval done_count')
+    finally:
+        ctrl.close()
+
+
 @pytest.mark.parametrize('system,constrained', [
     ('cartpole', False),
     ('cartpole', True),
