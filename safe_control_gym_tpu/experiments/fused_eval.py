@@ -190,8 +190,20 @@ def _kernel_eval(spec, env, batch, n_steps, seed, stochastic, n_reps,
               policy_activation=spec['activation'],
               clip_obs=spec['clip_obs'], **rk.rollout_task_kwargs(env))
 
+    # jit the wrapper call: roll_fn builds a fresh pallas_call per Python
+    # invocation, so an unjitted repeat pays host trace/lowering every
+    # call (~0.3 s — measured 75M vs 290M steps/s on the demo workload);
+    # under jit the repeat calls hit the C++ fast path.
+    roll_jit = jax.jit(lambda st, c, s: roll_fn(st, c, s,
+                                                n_steps=n_steps, **kw))
+
     def run(s):
-        out = roll_fn(states.state, cfg, s, n_steps=n_steps, **kw)
+        out = roll_jit(states.state, cfg, jnp.asarray(s, jnp.int32))
+        # Warm the timed region's scalar-fetch program too: its first use
+        # would otherwise compile inside the timing (~0.3 s through the
+        # remote-compile tunnel — measured as a 4x throughput hit at
+        # T=8192 with n_reps=1).
+        float(jnp.sum(out['reward_sum']))
         return (np.asarray(out['reward_sum']),
                 np.asarray(out['done_count']),
                 np.asarray(out['violation_count']) if constrained else None)
@@ -200,8 +212,9 @@ def _kernel_eval(spec, env, batch, n_steps, seed, stochastic, n_reps,
     best = float('inf')
     for r in range(n_reps):
         t0 = time.perf_counter()
-        float(jnp.sum(roll_fn(states.state, cfg, seed + 1 + r,
-                              n_steps=n_steps, **kw)['reward_sum']))
+        out = roll_jit(states.state, cfg, jnp.asarray(seed + 1 + r,
+                                                      jnp.int32))
+        float(jnp.sum(out['reward_sum']))
         best = min(best, time.perf_counter() - t0)
     per_env = dict(reward_sum=rew, done_count=dn)
     if vi is not None:
@@ -255,7 +268,9 @@ def _scan_eval(spec, env, batch, n_steps, seed, n_reps, mesh=None,
         return rew, dn, vi, mse
 
     key = jax.random.PRNGKey(seed)
-    rew, dn, vi, mse = map(np.asarray, run(key))   # warm-up + values
+    out0 = run(key)                          # warm-up (compile) + values
+    float(out0[0].sum())                     # warm the timed scalar fetch
+    rew, dn, vi, mse = map(np.asarray, out0)
     totals = (float(rew.sum()), float(dn.sum()), float(vi.sum()),
               float(mse.sum()))
     per_env = dict(reward_sum=rew, done_count=dn)
